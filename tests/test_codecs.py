@@ -1,0 +1,120 @@
+import numpy as np
+import pytest
+
+from xcube_stac_spark import codecs
+
+
+def _img(h=64, w=48, seed=42):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = 2000 + 30 * np.sin(xx / 7.0) * np.cos(yy / 9.0) + 5 * xx + 3 * yy
+    img += rng.normal(0, 4, size=(h, w))
+    return np.clip(img, 0, 65535).astype(np.uint16)
+
+
+def test_raw_roundtrip():
+    img = _img()
+    data = codecs.encode(img, "raw")
+    out = codecs.decode(data, "raw", img.shape[1], img.shape[0])
+    np.testing.assert_array_equal(img, out)
+
+
+def test_png_roundtrip_lossless():
+    img = _img()
+    data = codecs.encode(img, "png")
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    out = codecs.decode(data, "png", img.shape[1], img.shape[0])
+    np.testing.assert_array_equal(img, out)
+
+
+def test_png_decoder_handles_all_filters():
+    # build a tiny 8-bit PNG by hand with each filter type per row and check
+    # the decoder reconstructs it (encode path only emits filter 0)
+    import struct
+    import zlib
+
+    h, w = 5, 4
+    img = (np.arange(h * w, dtype=np.uint8).reshape(h, w) * 7 + 3).astype(np.uint8)
+    lines = []
+    prev = np.zeros(w, np.uint8)
+    for r, f in zip(range(h), [0, 1, 2, 3, 4]):
+        cur = img[r]
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:
+            enc = np.zeros(w, np.uint8)
+            for i in range(w):
+                a = cur[i - 1] if i >= 1 else 0
+                enc[i] = np.uint8(int(cur[i]) - int(a))
+        elif f == 2:
+            enc = (cur.astype(np.int32) - prev).astype(np.uint8)
+        elif f == 3:
+            enc = np.zeros(w, np.uint8)
+            for i in range(w):
+                a = cur[i - 1] if i >= 1 else 0
+                enc[i] = np.uint8(int(cur[i]) - ((int(a) + int(prev[i])) >> 1))
+        else:
+            enc = np.zeros(w, np.uint8)
+            for i in range(w):
+                a = int(cur[i - 1]) if i >= 1 else 0
+                b = int(prev[i])
+                c = int(prev[i - 1]) if i >= 1 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = np.uint8(int(cur[i]) - pred)
+        lines.append(bytes([f]) + enc.tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    data = (
+        codecs._PNG_SIG
+        + codecs._chunk(b"IHDR", ihdr)
+        + codecs._chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + codecs._chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png(data)
+    np.testing.assert_array_equal(out, img.astype(np.uint16))
+
+
+def test_lossy_psnr_above_40db():
+    img = _img(128, 128)
+    data = codecs.encode(img, "lossy")
+    out = codecs.decode(data, "lossy", 128, 128)
+    assert out.shape == img.shape
+    # PSNR relative to actual dynamic range of the content
+    peak = float(img.max())
+    p = codecs.psnr(img, out, peak=peak)
+    assert p >= 40.0, f"PSNR {p:.1f} < 40 dB"
+
+
+def test_lossy_deterministic():
+    img = _img(64, 64, seed=1)
+    assert codecs.encode(img, "lossy") == codecs.encode(img, "lossy")
+
+
+def test_lossy_nonsquare_and_ragged():
+    img = _img(50, 37)
+    out = codecs.decode(codecs.encode(img, "lossy"), "lossy", 37, 50)
+    assert out.shape == (50, 37)
+
+
+def test_phash_stability_across_codecs():
+    img = _img(64, 64)
+    h_raw = codecs.phash64(img)
+    png = codecs.decode(codecs.encode(img, "png"), "png", 64, 64)
+    assert codecs.phash64(png) == h_raw
+    lossy = codecs.decode(codecs.encode(img, "lossy"), "lossy", 64, 64)
+    # hamming distance small for lossy
+    ham = bin(h_raw ^ codecs.phash64(lossy)).count("1")
+    assert ham <= 6
+    assert 0 <= h_raw < 2**63
+
+
+def test_phash_distinguishes_content():
+    a = codecs.phash64(_img(64, 64, seed=1))
+    b = codecs.phash64(_img(64, 64, seed=2))
+    # noise differs but structure same → some distance yet not required huge;
+    # structurally different image must differ a lot
+    rng = np.random.default_rng(9)
+    c = codecs.phash64(rng.integers(0, 65535, (64, 64)).astype(np.uint16))
+    assert bin(a ^ c).count("1") > 10

@@ -1,0 +1,250 @@
+"""Image codecs for the binary pixel payload column — pure NumPy + stdlib zlib.
+
+The reference reads raster files through rioxarray/GDAL
+(``xcube_stac/accessors/sen2.py:158-169``, ``sen3.py:172-173``,
+``hls.py:131-140``); its format dispatch table is
+``MAP_FILE_EXTENSION_FORMAT`` (``xcube_stac/constants.py:76-83``). In this
+engine pixels arrive INLINE as a ``bytes:binary`` column (BASELINE input_hint)
+and are decoded inside Arrow-batched UDFs. No image library is available in
+the runtime, so the three formats are self-implemented:
+
+* ``raw``  — little-endian uint16 C-order dump (lossless, zero cost).
+* ``png``  — real PNG: 16-bit grayscale, filter 0 scanlines on encode,
+  full filter 0-4 (incl. Paeth) support on decode, CRC-checked chunks.
+* ``lossy``— 8x8 blockwise DCT-II quantization ("jpeg-core" without the
+  entropy coder; zlib for the byte stream). Deterministic; quality chosen
+  so reconstruction PSNR is >= 40 dB on natural-ish content, exercising the
+  lossy-allclose acceptance rule.
+
+All decoders return ``np.ndarray[uint16]`` shaped (h, w). Decode batches of
+images per Arrow record batch — never per row from Python row objects.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# raw
+# ---------------------------------------------------------------------------
+
+
+def encode_raw(img: np.ndarray) -> bytes:
+    return np.ascontiguousarray(img, dtype="<u2").tobytes()
+
+
+def decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(data, dtype="<u2").reshape(h, w).astype(np.uint16)
+
+
+# ---------------------------------------------------------------------------
+# png (16-bit grayscale)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    img = np.ascontiguousarray(img, dtype=np.uint16)
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)  # 16-bit grayscale
+    rows = img.astype(">u2").tobytes()
+    stride = w * 2
+    # filter byte 0 (None) prepended per scanline
+    raw = b"".join(
+        b"\x00" + rows[r * stride : (r + 1) * stride] for r in range(h)
+    )
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes, w: int | None = None, h: int | None = None) -> np.ndarray:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos = 8
+    width = height = bitdepth = colortype = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, bitdepth, colortype = struct.unpack(">IIBB", payload[:10])
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if colortype != 0 or bitdepth not in (8, 16):
+        raise ValueError(f"unsupported PNG (colortype={colortype} depth={bitdepth})")
+    bpp = bitdepth // 8
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(height):
+        f = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).copy()
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-neighbor scan
+            cur = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if f == 1:
+                    v = line[i] + a
+                elif f == 3:
+                    v = line[i] + ((int(a) + int(b)) >> 1)
+                else:
+                    v = line[i] + _paeth(
+                        np.uint8(a), np.uint8(b), np.uint8(c)
+                    )
+                cur[i] = np.uint8(v)
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[r] = cur
+        prev = cur
+    if bitdepth == 16:
+        img = out.reshape(height, width, 2)
+        return (img[:, :, 0].astype(np.uint16) << 8) | img[:, :, 1]
+    return out.reshape(height, width).astype(np.uint16)
+
+
+# ---------------------------------------------------------------------------
+# lossy: 8x8 DCT quantization
+# ---------------------------------------------------------------------------
+
+_B = 8
+_DCT = np.zeros((_B, _B))
+for _k in range(_B):
+    for _n in range(_B):
+        _DCT[_k, _n] = np.cos(np.pi * (_n + 0.5) * _k / _B)
+_DCT *= np.sqrt(2.0 / _B)
+_DCT[0] /= np.sqrt(2.0)
+# flat quant table scaled by (1 + k+l): heavier on high frequencies
+_Q = np.fromfunction(lambda k, l: 4.0 * (1.0 + k + l), (_B, _B))
+
+_MAGIC = b"LDC1"
+
+
+def _blockify(img: np.ndarray) -> tuple[np.ndarray, int, int, int, int]:
+    h, w = img.shape
+    ph = (-h) % _B
+    pw = (-w) % _B
+    img = np.pad(img, ((0, ph), (0, pw)), mode="edge")
+    H, W = img.shape
+    blocks = img.reshape(H // _B, _B, W // _B, _B).transpose(0, 2, 1, 3)
+    return blocks, h, w, H, W
+
+
+def encode_lossy(img: np.ndarray) -> bytes:
+    img = np.asarray(img, dtype=np.float64)
+    blocks, h, w, H, W = _blockify(img)
+    coeff = np.einsum("ab,ijbc,cd->ijad", _DCT, blocks, _DCT.T)
+    q = np.round(coeff / _Q).astype(np.int32)
+    payload = zlib.compress(q.astype("<i4").tobytes(), 6)
+    return _MAGIC + struct.pack("<II", w, h) + payload
+
+
+def decode_lossy(data: bytes, w: int | None = None, h: int | None = None) -> np.ndarray:
+    if data[:4] != _MAGIC:
+        raise ValueError("not an LDC1 stream")
+    w, h = struct.unpack("<II", data[4:12])
+    H = h + ((-h) % _B)
+    W = w + ((-w) % _B)
+    q = np.frombuffer(zlib.decompress(data[12:]), dtype="<i4").reshape(
+        H // _B, W // _B, _B, _B
+    )
+    coeff = q.astype(np.float64) * _Q
+    blocks = np.einsum("ba,ijbc,cd->ijad", _DCT, coeff, _DCT)
+    img = blocks.transpose(0, 2, 1, 3).reshape(H, W)
+    return np.clip(np.round(img), 0, 65535).astype(np.uint16)[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# dispatch (mirrors MAP_FILE_EXTENSION_FORMAT constants.py:76-83 in spirit)
+# ---------------------------------------------------------------------------
+
+ENCODERS = {"raw": encode_raw, "png": encode_png, "lossy": encode_lossy}
+DECODERS = {"raw": decode_raw, "png": decode_png, "lossy": decode_lossy}
+LOSSLESS = {"raw", "png"}
+
+
+def encode(img: np.ndarray, fmt: str) -> bytes:
+    return ENCODERS[fmt](img)
+
+
+def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    return DECODERS[fmt](data, w, h)
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 65535.0) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(peak * peak / mse))
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (DCT pHash, 64-bit) — the `phash` column generator
+# ---------------------------------------------------------------------------
+
+
+def phash64(img: np.ndarray) -> int:
+    """Classic DCT perceptual hash: mean-pool to 32x32, 2-D DCT, take the
+    8x8 low-frequency block (minus DC), threshold at its median -> 64 bits,
+    returned as a SIGNED int64 (Spark LongType-safe). Stable across the
+    lossless codecs and robust to the lossy one.
+    """
+    img = np.asarray(img, np.float64)
+    h, w = img.shape
+    # mean-pool to 32x32 (pad to a multiple first)
+    ph = (-h) % 32
+    pw = (-w) % 32
+    img = np.pad(img, ((0, ph), (0, pw)), mode="edge")
+    H, W = img.shape
+    small = img.reshape(32, H // 32, 32, W // 32).mean(axis=(1, 3))
+    M = np.zeros((32, 32))
+    for k in range(32):
+        for n in range(32):
+            M[k, n] = np.cos(np.pi * (n + 0.5) * k / 32)
+    d = M @ small @ M.T
+    low = d[:8, :8].flatten()
+    low = low[1:]  # drop DC
+    bits = low > np.median(low)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    # 63 bits used; keep sign bit clear → always fits int64
+    return int(val)

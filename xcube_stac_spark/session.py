@@ -1,0 +1,59 @@
+"""Tuned SparkSession factory.
+
+The reference has no execution-engine configuration beyond dask chunk sizes
+(``constants.py:61`` TILE_SIZE=2048). Here the equivalent knobs are Spark SQL
+configs: AQE (runtime re-plan + skew-join splitting), shuffle partition count
+sized to cores, Arrow for the pandas-UDF pixel path, UTC session time zone so
+DuckDB-oracle comparisons are stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# At 100 TB scale these would be cluster-level spark-submit confs; the values
+# below are the local[nCores] equivalents of the same strategy:
+#  - shuffle partitions ~ cores locally (cluster: 2-3x total cores),
+#  - AQE on so skewed cell keys get split at runtime,
+#  - Arrow batch sized so a batch of 2048x2048 uint16 tiles stays ~tens of MB.
+_DEFAULTS = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "64",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "48g",
+}
+
+
+def get_spark(
+    app_name: str = "xcube_stac_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    the bench harness can run the identical job at two parallelism levels
+    (local[8] vs local[32]) to evidence the N->4N scaling-efficiency rule.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
