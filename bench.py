@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line with headline + per-query seconds.
+
+Headline metric: the flagship spatial-join + decode + regrid + take-first
+mosaic cube build over the synthetic image+caption table, reported as
+tiles/sec (BASELINE.md north rule). Additional operator queries are timed
+individually.
+
+Usage:
+  python bench.py                 # $SPARK_GRAFT_SF_DIR (default sf0.1),
+                                  # local[$SPARK_GRAFT_CPUS] (default 32)
+  python bench.py --scaling       # run the identical job at local[8] and
+                                  # local[32] in fresh JVMs and write
+                                  # BENCH/BASELINE.md with throughputs +
+                                  # scaling efficiency (the sandbox proxy
+                                  # for the N->4N executor rule)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TIME_RANGE = ("2025-06-01", "2025-06-30")
+
+
+def run_bench() -> dict:
+    from xcube_stac_spark import synth
+    from xcube_stac_spark.session import get_spark
+    from xcube_stac_spark.plans import cube as cube_plan
+    from xcube_stac_spark.sources.catalog import SceneCatalog
+    import __spark_entry__ as entry_mod
+
+    sf = os.path.basename(os.path.normpath(SF_DIR))
+    if sf not in synth.PARAMS:
+        sf = "sf0.1"
+    sdir = synth.generate(sf)
+    spark = get_spark("xss-bench", master=f"local[{CPUS}]")
+    # warm the JVM + parquet footers once (excluded from timings)
+    spark.read.parquet(os.path.join(sdir, "scenes.parquet")).count()
+
+    timings: dict[str, float] = {}
+
+    # headline: cube build
+    cat = SceneCatalog(spark, sdir)
+    grid = synth.default_grid(sf, tile=128)
+    bands = list(synth.PARAMS[sf].bands)
+    t0 = time.perf_counter()
+    cube = cube_plan.build_cube(cat, grid, time_range=TIME_RANGE, bands=bands)
+    n_tiles = cube.count()
+    cube_sec = time.perf_counter() - t0
+    timings["cube_build"] = round(cube_sec, 3)
+
+    # operator queries (driver-contract entries, at this sf where possible)
+    qs = entry_mod.queries()
+    for name in [
+        "scene_search", "dedup_latest", "cell_cover", "spatial_join_region",
+        "knn_tiles", "bbox_union", "lineage", "tpch_q1", "events_daily",
+    ]:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    tiles_per_sec = n_tiles / cube_sec if cube_sec > 0 else 0.0
+    return {
+        "metric": "flagship cube build (spatial-join+decode+regrid+mosaic) wall time",
+        "value": round(cube_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf.replace("sf", "")),
+        "n_tiles": int(n_tiles),
+        "tiles_per_sec": round(tiles_per_sec, 2),
+        "cpus": CPUS,
+        "bands": len(bands),
+    }
+
+
+def run_scaling() -> None:
+    """Same job at local[8] vs local[32]; efficiency = speedup/4."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+        print(f"local[{cpus}]: {line}", file=sys.stderr)
+    tp8 = results[8]["tiles_per_sec"]
+    tp32 = results[32]["tiles_per_sec"]
+    speedup = tp32 / tp8 if tp8 else 0.0
+    eff = speedup / 4.0
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — scaling evidence (north rule: efficiency >= 0.8 from N to 4N)
+
+No real cluster in this sandbox; the N->4N executor criterion is evidenced by
+running the IDENTICAL flagship job (spatial-join + decode + regrid +
+take-first mosaic cube build, sf={results[32]['sf']}, {results[32]['n_tiles']} output tiles,
+{results[32]['bands']} bands) at two parallelism levels in fresh JVMs:
+
+| parallelism | wall sec | tiles/sec |
+|---|---|---|
+| local[8]  (N)  | {results[8]['value']} | {tp8} |
+| local[32] (4N) | {results[32]['value']} | {tp32} |
+
+**speedup = {speedup:.2f}x, scaling efficiency = {eff:.3f}** (target >= 0.8).
+
+Per-query seconds at local[32]: `{json.dumps(results[32]['queries'])}`
+
+Reproduce: `python bench.py --scaling` (regenerates this file).
+"""
+        )
+    print(json.dumps({"scaling_efficiency": round(eff, 3), "tp8": tp8, "tp32": tp32}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,150 @@
+"""Spatial operators + SQL-expression parity with the NumPy cell index."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_stac_spark import cells
+from xcube_stac_spark import functions as X
+from xcube_stac_spark.operators import spatial
+from xcube_stac_spark.sources.catalog import SceneCatalog
+
+
+@pytest.fixture(scope="module")
+def cat(spark, sf001_dir):
+    return SceneCatalog(spark, sf001_dir)
+
+
+def test_cell_id_expr_matches_numpy(spark):
+    rng = np.random.default_rng(0)
+    lons = rng.uniform(-179.9, 179.9, 500)
+    lats = rng.uniform(-89.9, 89.9, 500)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lons, lats)], "lon double, lat double"
+    )
+    got = (
+        df.withColumn("cell", X.cell_id_expr(F.col("lon"), F.col("lat")))
+        .orderBy("lon")
+        .collect()
+    )
+    order = np.argsort(lons, kind="stable")
+    exp = cells.cell_id(lons[order], lats[order])
+    assert [r.cell for r in got] == exp.tolist()
+
+
+def test_bbox_cells_expr_matches_numpy(spark):
+    bboxes = [(10.1, 48.7, 13.4, 50.9), (-1.0, -1.0, 1.0, 1.0), (5.0, 5.0, 5.0, 5.0)]
+    df = spark.createDataFrame(bboxes, "xmin double, ymin double, xmax double, ymax double")
+    rows = df.withColumn(
+        "cells",
+        X.bbox_cells_expr(F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")),
+    ).collect()
+    for r in rows:
+        exp = cells.cover_bbox(r.xmin, r.ymin, r.xmax, r.ymax)
+        assert sorted(r.cells) == sorted(exp.tolist())
+
+
+def test_search_scenes_filters(cat):
+    # whole-world search minus the antimeridian bug item
+    all_items = spatial.search_scenes(cat.scenes()).count()
+    raw = cat.scenes().count()
+    assert all_items == raw - 1  # the _XAM fixture dropped
+    # narrow bbox around one corner of the world
+    few = spatial.search_scenes(cat.scenes(), bbox=[10.6, 48.95, 10.9, 49.2]).count()
+    assert 0 < few < all_items
+    # time range reduces
+    oneday = spatial.search_scenes(
+        cat.scenes(), time_range=("2025-06-02", "2025-06-02 23:59:59")
+    ).count()
+    assert 0 < oneday < all_items
+    # query-extension property filter
+    desc = spatial.search_scenes(cat.scenes(), query={"orbit_state": ["descending"]})
+    assert 0 < desc.count() < all_items
+    assert desc.select("orbit_state").distinct().collect()[0][0] == "descending"
+
+
+def test_spatial_join_region_matches_bruteforce(cat, sf001_dir):
+    import pyarrow.parquet as pq
+
+    bbox = [11.4, 49.3, 12.3, 50.0]
+    got = {
+        r.item_id
+        for r in spatial.spatial_join_region(cat.scenes(), bbox, refine="pip").collect()
+    }
+    pdf = pq.read_table(f"{sf001_dir}/scenes.parquet").to_pandas()
+    exp = set()
+    for r in pdf.itertuples(index=False):
+        if abs(r.bbox_xmax - r.bbox_xmin) >= 20:
+            continue  # engine's cover explodes bbox cells incl. bug items,
+            # but those still intersect; spatial_join doesn't drop them —
+        if not (
+            r.bbox_xmax < bbox[0]
+            or r.bbox_xmin > bbox[2]
+            or r.bbox_ymax < bbox[1]
+            or r.bbox_ymin > bbox[3]
+        ):
+            exp.add(r.item_id)
+    # brute force over non-buggy items must be a subset of the join result;
+    # the buggy item may or may not appear (its envelope covers everything)
+    assert exp == {i for i in got if not i.endswith("_XAM")}
+
+
+def test_points_in_scenes_pip(cat, spark):
+    pts = spark.createDataFrame(
+        [(12.0, 49.3, "in-core"), (0.0, 0.0, "far-away")],
+        "lon double, lat double, name string",
+    )
+    hits = spatial.points_in_scenes(cat.scenes(), pts)
+    got = hits.groupBy("name").count().collect()
+    counts = {r["name"]: r["count"] for r in got}
+    assert counts.get("in-core", 0) > 0
+    assert "far-away" not in counts
+
+
+def test_dedup_latest_version(cat):
+    dd = spatial.dedup_latest_version(spatial.search_scenes(cat.scenes()))
+    pairs = (
+        dd.groupBy("solar_day", "tile_id")
+        .agg(F.countDistinct("proc_version").alias("nv"))
+        .where(F.col("nv") > 1)
+        .count()
+    )
+    assert pairs == 0
+    # groups that had a 05.11 version kept only 05.11
+    kept = dd.where(F.col("item_id").contains("_0511")).count()
+    assert kept > 0
+    base_of_kept = (
+        dd.alias("a")
+        .where(F.col("a.proc_version") == "05.00")
+        .join(
+            dd.alias("b").where(F.col("b.proc_version") == "05.11"),
+            (F.col("a.solar_day") == F.col("b.solar_day"))
+            & (F.col("a.tile_id") == F.col("b.tile_id")),
+        )
+        .count()
+    )
+    assert base_of_kept == 0
+
+
+def test_knn_scenes(cat):
+    k3 = spatial.knn_scenes(cat.scenes(), lon=12.0, lat=49.5, k=3).collect()
+    assert len(k3) == 3
+    assert [r.knn_rank for r in k3] == [1, 2, 3]
+    d = [r.dist2 for r in k3]
+    assert d == sorted(d)
+
+
+def test_bbox_union_and_lineage(cat):
+    bu = spatial.bbox_union(spatial.search_scenes(cat.scenes())).collect()
+    assert len(bu) == 18  # 2 zones x 9 tiles
+    for r in bu:
+        assert r.xmin < r.xmax and r.ymin < r.ymax
+    lin = spatial.lineage_per_time(spatial.search_scenes(cat.scenes())).collect()
+    assert all(r.item_ids == ",".join(sorted(r.item_ids.split(","))) for r in lin)
+
+
+def test_collections_metadata(cat):
+    rows = cat.collections().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.collection == "syn-l2a" and r.n_items > 0 and r.xmin < r.xmax

@@ -1,0 +1,314 @@
+"""Spatial search / join / grouping operators over the scenes table.
+
+Re-expresses the reference's item-search and grouping logic (SURVEY §2.2-2.3)
+as DataFrame transformations:
+
+* ``search_scenes`` — the bbox/time/collection/query predicate set the
+  reference pushes to the STAC API (store.py:577-595) or nested-loops
+  client-side (utils.py:93-140). Here it is one ``where`` chain Catalyst
+  pushes into the parquet/Iceberg scan (min/max pruning does the
+  "server-side" part).
+* ``cover_with_cells`` / ``spatial_join_region`` — the two-stage spatial
+  join (J1): coarse equi-join on covering cell ids (broadcast when the
+  query side is small, salted/AQE sort-merge otherwise) + exact
+  point-in-polygon refine in an Arrow UDF (J1b).
+* ``dedup_latest_version`` — the (solar day, tile, max proc version) window
+  dedup (J2/A4; sen2.py:563-643 esp. :617-623).
+* ``knn_scenes`` — k nearest scenes to a point (J4; sen2.py:483-492
+  generalizes k=1 → k).
+* ``bbox_union`` — envelope aggregation (A5; sen2.py:1169-1198).
+* ``lineage_per_time`` — per-time contributing item lists (A8;
+  utils.py:938-947).
+
+Scale notes (100 TB): the scenes table at 10^12 items is partitioned by
+(collection, solar_day-month) and sorted by cell id; every predicate here is
+a pure Column expression → full pushdown + partition pruning. The cell join
+explodes footprint covers (bounded: a scene covers O(10) level-9 cells) and
+joins on a single long key — broadcast for region queries, sort-merge with
+AQE skew splitting for planet-wide joins.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xcube_stac_spark import functions as X
+from xcube_stac_spark import cells as cells_mod
+from xcube_stac_spark import geom as geom_mod
+
+
+# ---------------------------------------------------------------------------
+# search (S4/S5/S6 + F1/F2/F5)
+# ---------------------------------------------------------------------------
+
+def search_scenes(
+    scenes: DataFrame,
+    bbox: Sequence[float] | None = None,
+    time_range: tuple[str, str] | None = None,
+    collections: Iterable[str] | None = None,
+    query: dict[str, Sequence[str]] | None = None,
+    drop_antimeridian_bugs: bool = True,
+) -> DataFrame:
+    """The full STAC-search predicate set as one pushdown-friendly filter
+    chain (reference store.py:577-595 + utils.py:93-140 + sen2.py:368-374).
+
+    ``query`` mirrors the STAC query extension's {"prop": ["val", ...]}
+    equality-in form (e.g. {"sat:orbit_state": ["descending"]}).
+    """
+    df = scenes
+    if collections:
+        df = df.where(F.col("collection").isin(list(collections)))
+    if bbox is not None:
+        df = df.where(
+            X.bbox_intersects(
+                F.col("bbox_xmin"), F.col("bbox_ymin"),
+                F.col("bbox_xmax"), F.col("bbox_ymax"),
+                bbox[0], bbox[1], bbox[2], bbox[3],
+            )
+        )
+    if time_range is not None:
+        df = df.where(
+            X.time_in_range(
+                F.col("datetime"), F.col("start_datetime"), F.col("end_datetime"),
+                time_range[0], time_range[1],
+            )
+        )
+    if query:
+        for prop, vals in query.items():
+            df = df.where(F.col(prop).isin(list(vals)))
+    if drop_antimeridian_bugs:
+        df = df.where(X.antimeridian_ok(F.col("bbox_xmin"), F.col("bbox_xmax")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# J1 coarse: cell covering + equi-join
+# ---------------------------------------------------------------------------
+
+_COVER_SCHEMA = T.ArrayType(T.LongType())
+
+
+def _cover_footprint_udf(level: int):
+    @F.pandas_udf(_COVER_SCHEMA)
+    def cover(footprints: pd.Series) -> pd.Series:
+        out = []
+        for ring in footprints:
+            lons = np.array([p["lon"] for p in ring])
+            lats = np.array([p["lat"] for p in ring])
+            out.append(cells_mod.cover_polygon(lons, lats, level).tolist())
+        return pd.Series(out)
+
+    return cover
+
+
+def cover_with_cells(
+    scenes: DataFrame, level: int = cells_mod.DEFAULT_LEVEL, exact: bool = False
+) -> DataFrame:
+    """Add an exploded ``cell`` column covering each scene's footprint.
+
+    ``exact=False`` (default): pure-SQL bbox cover (sequence+flatten — zero
+    Python, full codegen). ``exact=True``: polygon-exact cover via a pandas
+    UDF (fewer false-positive cells for strongly rotated swath footprints —
+    the J6/F12 analogue; costs an Arrow hop).
+    """
+    if exact:
+        cov = _cover_footprint_udf(level)(F.col("footprint"))
+    else:
+        cov = X.bbox_cells_expr(
+            F.col("bbox_xmin"), F.col("bbox_ymin"),
+            F.col("bbox_xmax"), F.col("bbox_ymax"), level,
+        )
+    return scenes.withColumn("cell", F.explode(cov))
+
+
+def region_cells_df(
+    spark, bbox: Sequence[float], level: int = cells_mod.DEFAULT_LEVEL
+) -> DataFrame:
+    """Tiny DataFrame of cell ids covering the query region (broadcast side)."""
+    ids = cells_mod.cover_bbox(bbox[0], bbox[1], bbox[2], bbox[3], level)
+    return spark.createDataFrame([(int(c),) for c in ids], "cell long")
+
+
+def spatial_join_region(
+    scenes: DataFrame,
+    bbox: Sequence[float],
+    level: int = cells_mod.DEFAULT_LEVEL,
+    refine: str = "bbox",
+) -> DataFrame:
+    """Scene<->region spatial join (J1): coarse broadcast semi-join on cell
+    ids, then exact refine.
+
+    refine="bbox": envelope overlap (exact for the region side since the
+    region IS a bbox) — pure SQL.
+    refine="pip": additionally require a footprint-vs-region polygon
+    intersection via the exact predicate (for curved/rotated footprints
+    whose envelope overlaps but geometry misses).
+    refine="none": coarse result (candidates only).
+    """
+    cands = (
+        cover_with_cells(scenes, level)
+        .join(F.broadcast(region_cells_df(scenes.sparkSession, bbox, level)), "cell", "left_semi")
+        .dropDuplicates(["item_id"])
+        .drop("cell")
+    )
+    if refine in ("bbox", "pip"):
+        cands = cands.where(
+            X.bbox_intersects(
+                F.col("bbox_xmin"), F.col("bbox_ymin"),
+                F.col("bbox_xmax"), F.col("bbox_ymax"),
+                bbox[0], bbox[1], bbox[2], bbox[3],
+            )
+        )
+    if refine == "pip":
+        cands = cands.where(footprint_intersects_bbox_udf(bbox)(F.col("footprint")))
+    return cands
+
+
+def footprint_intersects_bbox_udf(bbox: Sequence[float]):
+    """Exact footprint-polygon vs query-bbox predicate (J1b refine) as a
+    vectorized pandas UDF — NumPy rect-vs-polygon per footprint."""
+    xmin, ymin, xmax, ymax = [float(v) for v in bbox]
+
+    @F.pandas_udf(T.BooleanType())
+    def pred(footprints: pd.Series) -> pd.Series:
+        out = np.empty(len(footprints), dtype=bool)
+        for i, ring in enumerate(footprints):
+            lons = np.array([p["lon"] for p in ring])
+            lats = np.array([p["lat"] for p in ring])
+            out[i] = geom_mod.polygon_intersects_rect(lons, lats, xmin, ymin, xmax, ymax)
+        return pd.Series(out)
+
+    return pred
+
+
+def points_in_scenes(
+    scenes: DataFrame,
+    points: DataFrame,
+    level: int = cells_mod.DEFAULT_LEVEL,
+) -> DataFrame:
+    """General point-in-polygon join: points(lon, lat, ...) x scenes →
+    matched pairs. Coarse cell equi-join + exact ray-cast refine (J1).
+
+    The points side computes its cell with a pure Column expr; the refine
+    runs one vectorized ray cast per candidate pair inside an Arrow batch.
+    """
+    pts = points.withColumn("cell", X.cell_id_expr(F.col("lon"), F.col("lat"), level))
+    scn = cover_with_cells(scenes, level).select(
+        "cell", "item_id", "footprint"
+    )
+    cand = pts.join(scn, "cell").drop("cell")
+
+    @F.pandas_udf(T.BooleanType())
+    def pip(lon: pd.Series, lat: pd.Series, footprints: pd.Series) -> pd.Series:
+        out = np.empty(len(lon), dtype=bool)
+        lons = lon.to_numpy()
+        lats = lat.to_numpy()
+        for i, ring in enumerate(footprints):
+            rx = np.array([p["lon"] for p in ring])
+            ry = np.array([p["lat"] for p in ring])
+            out[i] = bool(
+                geom_mod.point_in_polygon(
+                    np.array([lons[i]]), np.array([lats[i]]), rx, ry
+                )[0]
+            )
+        return pd.Series(out)
+
+    return cand.where(pip(F.col("lon"), F.col("lat"), F.col("footprint"))).drop("footprint")
+
+
+# ---------------------------------------------------------------------------
+# J2: (solar day, tile) grouping + latest-processing-version dedup
+# ---------------------------------------------------------------------------
+
+def with_solar_day(scenes: DataFrame) -> DataFrame:
+    """Nominal (solar) acquisition day from bbox-center lon — C6
+    (utils.py:354-371, :573-591)."""
+    nominal = X.nominal_datetime(
+        F.col("datetime"), F.col("start_datetime"), F.col("end_datetime")
+    )
+    center_lon = X.bbox_center_lon(F.col("bbox_xmin"), F.col("bbox_xmax"))
+    return scenes.withColumn("nominal_datetime", nominal).withColumn(
+        "solar_day", X.solar_day(F.col("nominal_datetime"), center_lon)
+    )
+
+
+def dedup_latest_version(scenes: DataFrame) -> DataFrame:
+    """Keep only items of the LATEST processing version within each
+    (solar_day, tile_id) group — reference ``_group_items``'s version axis
+    argmax (sen2.py:595-597, :617-623). Items of that version co-exist (same
+    day, multiple acquisitions) and flow on to the mosaic.
+
+    Implemented as a max-over-window + filter: no shuffle beyond the one
+    groupBy-key exchange; Catalyst places it before any pixel work so pixels
+    of superseded versions are NEVER decoded (dedup-before-work, SURVEY §4).
+    """
+    df = with_solar_day(scenes)
+    w = Window.partitionBy("solar_day", "tile_id")
+    return (
+        df.withColumn("max_proc_version", F.max("proc_version").over(w))
+        .where(F.col("proc_version") == F.col("max_proc_version"))
+        .drop("max_proc_version")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4: kNN scenes/tiles to a point
+# ---------------------------------------------------------------------------
+
+def knn_scenes(scenes: DataFrame, lon: float, lat: float, k: int = 1) -> DataFrame:
+    """k nearest scene tiles to a query point by squared center distance
+    (reference k=1 argmin at sen2.py:483-492). Distinct tiles ranked by
+    distance; ties broken by tile_id for determinism.
+
+    At planetary scale the candidate set is first pruned via expanding cell
+    rings (here: direct global ranking — the window is over a deduped
+    tile list, tiny after dedup)."""
+    d2 = (
+        (X.bbox_center_lon(F.col("bbox_xmin"), F.col("bbox_xmax")) - F.lit(lon)) ** 2
+        + (X.bbox_center_lat(F.col("bbox_ymin"), F.col("bbox_ymax")) - F.lit(lat)) ** 2
+    )
+    tiles = (
+        scenes.groupBy("tile_id")
+        .agg(
+            F.min("bbox_xmin").alias("bbox_xmin"),
+            F.min("bbox_ymin").alias("bbox_ymin"),
+            F.max("bbox_xmax").alias("bbox_xmax"),
+            F.max("bbox_ymax").alias("bbox_ymax"),
+        )
+        .withColumn("dist2", d2)
+    )
+    w = Window.orderBy(F.col("dist2").asc(), F.col("tile_id").asc())
+    return tiles.withColumn("knn_rank", F.row_number().over(w)).where(
+        F.col("knn_rank") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 / A8
+# ---------------------------------------------------------------------------
+
+def bbox_union(scenes: DataFrame, group_cols: Sequence[str] = ("tile_id",)) -> DataFrame:
+    """Envelope of all scenes per group (sen2.py:1169-1198)."""
+    return scenes.groupBy(*group_cols).agg(
+        F.min("bbox_xmin").alias("xmin"),
+        F.min("bbox_ymin").alias("ymin"),
+        F.max("bbox_xmax").alias("xmax"),
+        F.max("bbox_ymax").alias("ymax"),
+        F.count("*").alias("n_scenes"),
+    )
+
+
+def lineage_per_time(scenes: DataFrame) -> DataFrame:
+    """solar_day → sorted list of contributing item ids (utils.py:938-947);
+    emitted as a deterministic comma-joined string for oracle comparison."""
+    df = scenes if "solar_day" in scenes.columns else with_solar_day(scenes)
+    return df.groupBy("solar_day").agg(
+        F.array_join(F.array_sort(F.collect_list("item_id")), ",").alias("item_ids"),
+        F.count("*").alias("n_items"),
+    )

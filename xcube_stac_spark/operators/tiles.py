@@ -1,0 +1,282 @@
+"""Raster tile pipeline: decode → regrid → take-first mosaic → time stack.
+
+The Spark re-expression of the reference cube assembly (SURVEY §2.3/§3.2):
+
+* ``assign_grid_tiles`` — raster→grid tile assignment (J8): instead of the
+  reference's driver-side positional insert into a preallocated xr cube
+  (sen2.py:1232-1325), each scene row gets the ARRAY of target grid tiles
+  its bbox touches (pure-SQL sequence arithmetic); the "insert" becomes a
+  shuffle of emitted tile rows into grid partitions.
+* ``decode_regrid`` — S8-S11 + C1 + J9/J12 in one Arrow pass: decode the
+  inline image bytes ONCE per scene/band, then for every target tile
+  inverse-map the tile's cell centers through the scene's UTM affine (pure
+  NumPy Transverse-Mercator), nearest-neighbor sample, apply
+  scale/offset/nodata→NaN (stac_extension/raster.py:57-93). Emits long-form
+  tile rows — the reference's (time, y, x) cube becomes the
+  ``(time, band, tile_y, tile_x, data)`` DataFrame (SURVEY §1.1).
+* ``mosaic_take_first`` — J5/A1 (utils.py:723-766 mosaic_spatial_take_first):
+  per (solar_day, band, tile_y, tile_x) group, first non-NaN pixel wins in
+  DETERMINISTIC (nominal_datetime, item_id) order — the reference relies on
+  Python list order (sen2.py:612-615), nondeterministic under distribution,
+  so the engine imposes this total order and the NumPy oracle uses the same
+  (documented deviation-with-equivalence, SURVEY §7.3.1).
+* ``time_spine`` — U2 gap fill (hls.py:510, sen2.py:1406-1464): left join
+  against the full day spine; missing (day, band, tile) rows are explicit
+  NaN-tile rows or left absent per ``materialize_gaps``.
+
+Scale notes: decode+regrid is map-side only (no shuffle); the single shuffle
+of the pipeline is the mosaic groupBy on (solar_day, band, tile_y, tile_x) —
+exactly the cube's write partitioning, so the sink needs no extra exchange.
+Tile payloads are float32 binary ~= 16 KB (64²) to 256 KB (256²); Arrow batch
+size is capped in session.py so UDF groups stay comfortably in executor
+memory at 2048² reference tile size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xcube_stac_spark import codecs
+from xcube_stac_spark import geom as geom_mod
+from xcube_stac_spark.gridspec import GridSpec
+
+# ---------------------------------------------------------------------------
+# J8: scene bbox → covering grid tiles (pure SQL)
+# ---------------------------------------------------------------------------
+
+
+def grid_tiles_expr(grid: GridSpec):
+    """Array<struct<tile_x,tile_y>> of grid tiles intersecting the scene
+    bbox — same floor arithmetic as GridSpec.tiles_for_bbox, as Column
+    expressions (sequence + transform + flatten, fully codegen'd)."""
+    tw = grid.tile_w * grid.res
+    th = grid.tile_h * grid.res
+
+    def clampx(c):
+        return F.least(F.greatest(c, F.lit(0)), F.lit(grid.n_tiles_x - 1))
+
+    def clampy(c):
+        return F.least(F.greatest(c, F.lit(0)), F.lit(grid.n_tiles_y - 1))
+
+    xmin, ymin = F.col("bbox_xmin"), F.col("bbox_ymin")
+    xmax, ymax = F.col("bbox_xmax"), F.col("bbox_ymax")
+    disjoint = (
+        (xmax <= F.lit(grid.x0))
+        | (xmin >= F.lit(grid.x1))
+        | (ymax <= F.lit(grid.y1))
+        | (ymin >= F.lit(grid.y0))
+    )
+    tx0 = clampx(F.floor((xmin - F.lit(grid.x0)) / F.lit(tw)).cast("int"))
+    tx1 = clampx(F.floor((xmax - F.lit(grid.x0)) / F.lit(tw)).cast("int"))
+    ty0 = clampy(F.floor((F.lit(grid.y0) - ymax) / F.lit(th)).cast("int"))
+    ty1 = clampy(F.floor((F.lit(grid.y0) - ymin) / F.lit(th)).cast("int"))
+    tiles = F.flatten(
+        F.transform(
+            F.sequence(ty0, ty1),
+            lambda ty: F.transform(
+                F.sequence(tx0, tx1),
+                lambda tx: F.struct(tx.cast("int").alias("tile_x"), ty.cast("int").alias("tile_y")),
+            ),
+        )
+    )
+    empty = F.array().cast(T.ArrayType(T.StructType([
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("tile_y", T.IntegerType()),
+    ])))
+    return F.when(disjoint, empty).otherwise(tiles)
+
+
+def assign_grid_tiles(scene_images: DataFrame, grid: GridSpec) -> DataFrame:
+    """Attach the target-tile array to each scene/band image row."""
+    return scene_images.withColumn("grid_tiles", grid_tiles_expr(grid)).where(
+        F.size("grid_tiles") > 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode + regrid (mapInPandas — one Arrow hop, decode once per image)
+# ---------------------------------------------------------------------------
+
+REGRID_SCHEMA = T.StructType(
+    [
+        T.StructField("solar_day", T.DateType()),
+        T.StructField("band", T.StringType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("item_id", T.StringType()),
+        T.StructField("t_order", T.LongType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("valid", T.IntegerType()),
+    ]
+)
+
+_REGRID_IN_COLS = [
+    "solar_day", "band", "item_id", "t_order", "bytes", "fmt", "w", "h",
+    "zone", "south", "scene_x0", "scene_y0", "scene_res",
+    "nodata", "scale", "offset", "grid_tiles",
+]
+
+
+def _regrid_one(
+    img: np.ndarray,
+    grid: GridSpec,
+    tile_x: int,
+    tile_y: int,
+    zone: int,
+    south: bool,
+    scene_x0: float,
+    scene_y0: float,
+    scene_res: float,
+    nodata: float,
+    scale: float,
+    offset: float,
+) -> tuple[bytes, int] | None:
+    """Nearest-neighbor sample one target tile from one decoded scene image.
+
+    Target cell centers (lon/lat) → scene UTM via TM forward → fractional
+    pixel indices in the scene's north-up affine → NN sample; DN==nodata and
+    out-of-scene → NaN; L = scale*DN + offset (C1). Returns (float32 bytes,
+    n_valid) or None when the tile catches no valid pixel (empty-clip drop,
+    sen2.py:704-706)."""
+    lons, lats = grid.tile_cell_centers(tile_x, tile_y)
+    lon2, lat2 = np.meshgrid(lons, lats)
+    e, n = geom_mod.tm_forward(lon2, lat2, zone, south)
+    col = np.floor((e - scene_x0) / scene_res).astype(np.int64)
+    row = np.floor((scene_y0 - n) / scene_res).astype(np.int64)
+    h, w = img.shape
+    inside = (col >= 0) & (col < w) & (row >= 0) & (row < h)
+    out = np.full(lon2.shape, np.nan, dtype=np.float32)
+    if inside.any():
+        dn = img[row[inside], col[inside]].astype(np.float64)
+        vals = scale * dn + offset
+        vals[dn == nodata] = np.nan
+        out[inside] = vals.astype(np.float32)
+    n_valid = int(np.isfinite(out).sum())
+    if n_valid == 0:
+        return None
+    return out.tobytes(), n_valid
+
+
+def decode_regrid(scene_images: DataFrame, grid: GridSpec) -> DataFrame:
+    """mapInPandas: (scene,band) image rows with target-tile arrays →
+    long-form regridded tile rows. Decode runs once per input row; each
+    emitted tile reuses the decoded array."""
+    gd = grid.to_dict()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = GridSpec.from_dict(gd)
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in REGRID_SCHEMA.fields}
+            for r in pdf.itertuples(index=False):
+                img = codecs.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                for t in r.grid_tiles:
+                    res = _regrid_one(
+                        img, g, int(t["tile_x"]), int(t["tile_y"]),
+                        int(r.zone), bool(r.south),
+                        float(r.scene_x0), float(r.scene_y0), float(r.scene_res),
+                        float(r.nodata), float(r.scale), float(r.offset),
+                    )
+                    if res is None:
+                        continue
+                    data, valid = res
+                    rows["solar_day"].append(r.solar_day)
+                    rows["band"].append(r.band)
+                    rows["tile_y"].append(int(t["tile_y"]))
+                    rows["tile_x"].append(int(t["tile_x"]))
+                    rows["item_id"].append(r.item_id)
+                    rows["t_order"].append(int(r.t_order))
+                    rows["data"].append(data)
+                    rows["valid"].append(valid)
+            yield pd.DataFrame(rows)
+
+    return scene_images.select(*_REGRID_IN_COLS).mapInPandas(run, REGRID_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# J5/A1: take-first mosaic
+# ---------------------------------------------------------------------------
+
+MOSAIC_SCHEMA = T.StructType(
+    [
+        T.StructField("solar_day", T.DateType()),
+        T.StructField("band", T.StringType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("n_scenes", T.IntegerType()),
+        T.StructField("item_ids", T.StringType()),
+        T.StructField("valid_frac", T.DoubleType()),
+        T.StructField("checksum", T.DoubleType()),
+    ]
+)
+
+
+def _take_first(stack: np.ndarray) -> np.ndarray:
+    """First non-NaN along axis 0 — the pixel core of the reference's
+    ``mosaic_spatial_take_first`` (utils.py:746-758: argmax over the
+    non-fill mask + da.choose), NaN where no scene contributes."""
+    mask = np.isfinite(stack)
+    first = mask.argmax(axis=0)
+    out = np.take_along_axis(stack, first[None, ...], axis=0)[0]
+    out[~mask.any(axis=0)] = np.nan
+    return out
+
+
+def mosaic_take_first(tiles: DataFrame) -> DataFrame:
+    """Grouped take-first mosaic over (solar_day, band, tile_y, tile_x).
+
+    Scene order inside a group is (t_order, item_id) ascending — the
+    engine's deterministic replacement for the reference's list order."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t_order", "item_id"], kind="mergesort")
+        arrs = [np.frombuffer(b, dtype=np.float32) for b in pdf["data"]]
+        stack = np.stack(arrs, axis=0)
+        out = _take_first(stack)
+        finite = np.isfinite(out)
+        return pd.DataFrame(
+            {
+                "solar_day": [pdf["solar_day"].iloc[0]],
+                "band": [pdf["band"].iloc[0]],
+                "tile_y": [pdf["tile_y"].iloc[0]],
+                "tile_x": [pdf["tile_x"].iloc[0]],
+                "data": [out.tobytes()],
+                "n_scenes": [len(pdf)],
+                "item_ids": [",".join(pdf["item_id"].tolist())],
+                "valid_frac": [float(finite.mean())],
+                "checksum": [float(np.nansum(out.astype(np.float64)))],
+            }
+        )
+
+    return tiles.groupBy("solar_day", "band", "tile_y", "tile_x").applyInPandas(
+        merge, MOSAIC_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1/U2: temporal stacking + gap fill
+# ---------------------------------------------------------------------------
+
+
+def time_spine(cube: DataFrame, t0: str, t1: str) -> DataFrame:
+    """Full (solar_day x band x tile) spine left-joined against the cube —
+    reindex-with-fill semantics (hls.py:510; NaN-slice insertion
+    sen2.py:1406-1464). Missing combinations appear with NULL data."""
+    spark = cube.sparkSession
+    days = spark.sql(
+        f"select explode(sequence(to_date('{t0}'), to_date('{t1}'), interval 1 day)) as solar_day"
+    )
+    keys = cube.select("band", "tile_y", "tile_x").distinct()
+    spine = F.broadcast(days).crossJoin(keys)
+    return spine.join(cube, ["solar_day", "band", "tile_y", "tile_x"], "left")
+
+
+def tile_to_array(data: bytes, rows: int, cols: int) -> np.ndarray:
+    """Decode a cube tile payload back to (rows, cols) float32."""
+    return np.frombuffer(data, dtype=np.float32).reshape(rows, cols)

@@ -1,0 +1,88 @@
+"""Table registry / catalog seam — the Spark analogue of the reference's
+STAC store plumbing.
+
+Reference mapping (SURVEY §2.1):
+* ``StacDataStore.__init__`` capability probe (store.py:94-108) → here a
+  catalog is just a directory (or Iceberg namespace) of tables; "searchable"
+  vs "static" collapses into: filters are ALWAYS pushed down by Catalyst.
+* ``access_item`` single-item fetch w/ retry (utils.py:473-518) → row lookup;
+  storage-level retries belong to the FS layer, Spark task retries cover the
+  rest.
+* ``get_data_ids`` (store.py:131-146) → projection over the scenes table.
+* opener-id / format dispatch (store.py:271-292, constants.py:84-98) →
+  ``fmt`` column predicate on the images table.
+
+If an Iceberg runtime jar is on the classpath the same seam reads
+``spark.read.format("iceberg")``; offline (this sandbox) it reads plain
+parquet laid out Iceberg-style. The commit-log/manifest side lives in
+:mod:`xcube_stac_spark.lineage`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _read(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(path)
+    return spark.read.parquet(path)
+
+
+class SceneCatalog:
+    """A directory of {scenes, images, assets} tables for one collection
+    root. All reads are lazy DataFrames; Catalyst pushes filters/projections
+    into the parquet (or Iceberg) scan.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
+        self.spark = spark
+        self.root = root
+        self.fmt = fmt
+
+    def _table(self, name: str) -> DataFrame:
+        path = os.path.join(self.root, f"{name}.parquet") if self.fmt == "parquet" else f"{self.root}.{name}"
+        return _read(self.spark, path, self.fmt)
+
+    # -- S4/S5/S7: the scenes (STAC items) table ---------------------------
+    def scenes(self) -> DataFrame:
+        return self._table("scenes")
+
+    # -- S8-S11: the images (pixel payload) table — mandated input shape ---
+    def images(self) -> DataFrame:
+        return self._table("images")
+
+    # -- asset listing (utils.py:325-351): item->band->image mapping -------
+    def assets(self) -> DataFrame:
+        return self._table("assets")
+
+    # -- S2: single item lookup (access_item, utils.py:473-518) ------------
+    def item(self, item_id: str) -> DataFrame:
+        return self.scenes().where(F.col("item_id") == item_id)
+
+    # -- S7: data-id enumeration (store.py:131-146; attrs utils.py:179-217)
+    def data_ids(self, include_attrs: list[str] | None = None) -> DataFrame:
+        cols = ["item_id"] + (include_attrs or [])
+        return self.scenes().select(*cols)
+
+    # -- S6/S3: collection-level metadata (utils.py:521-549, :143-168) -----
+    def collections(self) -> DataFrame:
+        """Collection extents derived by aggregation (the reference reads
+        them from collection JSON; here they ARE the data: A5-style envelope
+        + time range per collection)."""
+        return (
+            self.scenes()
+            .groupBy("collection")
+            .agg(
+                F.min("bbox_xmin").alias("xmin"),
+                F.min("bbox_ymin").alias("ymin"),
+                F.max("bbox_xmax").alias("xmax"),
+                F.max("bbox_ymax").alias("ymax"),
+                F.min(F.coalesce("datetime", "start_datetime")).alias("time_start"),
+                F.max(F.coalesce("datetime", "end_datetime")).alias("time_end"),
+                F.count("*").alias("n_items"),
+            )
+        )

@@ -1,0 +1,329 @@
+"""Deterministic synthetic scenes + images generator (seed-fixed, no external
+data) — the in-repo analogue of the reference test fixtures.
+
+Mirrors:
+* ``test/sampledata.py:27-451`` — deterministic synthetic rasters with real
+  UTM georeferencing (here: non-constant gradient+noise content so mosaics
+  are distinguishable, unlike the reference's all-ones fixtures).
+* item property fixtures ``test/test_utils.py:93-117`` and property keys
+  ``accessors/sen2.py:151-156`` (tile id, proc version, orbit state, CRS).
+* edge cases the reference handles in code: antimeridian-buggy bbox width
+  >= 20 deg (``accessors/sen2.py:368-374``), wrong-hemisphere EPSG codes
+  (``accessors/hls.py:522-556``), interval-datetime items
+  (``utils.py:248-280``), duplicate processing versions
+  (``accessors/sen2.py:617-623``), multi-scene same-day tiles (mosaic).
+
+World geometry: two UTM zones (32, 33) whose scene grids BOTH cover the
+shared zone boundary at lon 12 deg — the maximal cross-zone-merge case
+(reference ``accessors/sen2.py:1328-1403``). Scene (zone, tx, ty) covers a
+square of ``w*res`` meters in its zone's UTM CRS; footprints are the
+corners+edge-midpoints projected to WGS84 (slightly curved quads).
+
+The ``images`` table has EXACTLY the mandated shape
+``(image_id, bytes, w, h, fmt, caption, phash)``; band/item linkage lives
+in the ``assets`` side table (image_id = "{item_id}:{band}").
+
+Output: ``/root/repo/synthdata/sf{X}/{scenes,images,assets}.parquet``.
+Run ``python -m xcube_stac_spark.synth [sf ...]`` to (re)generate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from xcube_stac_spark import codecs, geom
+from xcube_stac_spark.gridspec import GridSpec
+
+SYNTH_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "synthdata")
+
+COLLECTION = "syn-l2a"
+BASE_DATE = dt.date(2025, 6, 1)
+OVERPASS_UTC = (10, 30)  # HH, MM
+SCALE = 0.0001
+OFFSET = -0.1
+NODATA = 0.0
+ZONES = (32, 33)
+BOUNDARY_LON = 12.0  # zone 32/33 boundary both grids straddle
+LAT0 = 49.0  # approximate south edge of the scene grids
+N0 = 5_430_000.0  # northing of scene-grid row 0 (south edge)
+
+
+@dataclass(frozen=True)
+class SynthParams:
+    sf: str
+    days: int
+    ntx: int
+    nty: int
+    bands: tuple[str, ...]
+    w: int
+    h: int
+    res: float  # scene pixel size in meters
+
+
+PARAMS = {
+    "sf0.001": SynthParams("sf0.001", days=4, ntx=2, nty=2, bands=("B02", "B03"), w=64, h=64, res=1000.0),
+    "sf0.01": SynthParams("sf0.01", days=8, ntx=3, nty=3, bands=("B02", "B03", "B04"), w=64, h=64, res=1000.0),
+    "sf0.1": SynthParams("sf0.1", days=16, ntx=4, nty=4, bands=("B02", "B03", "B04", "B08"), w=256, h=256, res=250.0),
+}
+
+_FMTS = ("raw", "png", "lossy")
+
+
+def zone_grid_origin(zone: int, p: SynthParams) -> tuple[float, float]:
+    """West-edge easting / south-edge northing of the zone's scene grid,
+    positioned so the grid straddles ``BOUNDARY_LON``."""
+    clon = geom.zone_central_lon(zone)
+    m_per_deg = geom.M_PER_DEG * float(np.cos(np.radians(LAT0 + 0.5)))
+    span = p.ntx * p.w * p.res
+    e_center = 500000.0 + (BOUNDARY_LON - clon) * m_per_deg
+    return e_center - span / 2.0, N0
+
+
+def scene_bounds(zone: int, tx: int, ty: int, p: SynthParams):
+    """(x0, y0_north, x1, y1_south) of scene tile in UTM meters.
+
+    y0 is the NORTH edge (north-up raster convention; row 0 = north)."""
+    e0, n0 = zone_grid_origin(zone, p)
+    T = p.w * p.res
+    x0 = e0 + tx * T
+    y_south = n0 + ty * T
+    return x0, y_south + p.h * p.res, x0 + T, y_south
+
+
+def footprint_ring(zone: int, tx: int, ty: int, p: SynthParams):
+    """Closed lon/lat ring: 4 corners + edge midpoints of the UTM square."""
+    x0, y_north, x1, y_south = scene_bounds(zone, tx, ty, p)
+    xm, ym = (x0 + x1) / 2.0, (y_south + y_north) / 2.0
+    es = np.array([x0, xm, x1, x1, x1, xm, x0, x0, x0])
+    ns = np.array([y_south, y_south, y_south, ym, y_north, y_north, y_north, ym, y_south])
+    lon, lat = geom.tm_inverse(es, ns, zone)
+    return lon, lat
+
+
+def scene_pixels(zone: int, tx: int, ty: int, band_idx: int, day: int, p: SynthParams, second: bool = False) -> np.ndarray:
+    """Deterministic uint16 DN plane for one (scene, band, day).
+
+    Content is a function of ABSOLUTE scene-grid coordinates so adjacent
+    scenes are continuous (mosaic seams checkable), plus band/day terms and
+    seeded noise. ``second`` scenes (same-day duplicates) carry a diagonal
+    nodata stripe complementary to the first scene's stripe so the
+    take-first mosaic must merge both.
+    """
+    T = p.w * p.res
+    e0, n0 = zone_grid_origin(zone, p)
+    # absolute pixel-center coordinates, row 0 = north edge
+    x = e0 + tx * T + (np.arange(p.w) + 0.5) * p.res
+    y = n0 + (ty + 1) * T - (np.arange(p.h) + 0.5) * p.res
+    xx, yy = np.meshgrid(x, y)
+    base = (
+        3000.0
+        + 800.0 * np.sin(xx / 40000.0 + band_idx)
+        + 800.0 * np.cos(yy / 55000.0 - band_idx * 0.5)
+        + 120.0 * day
+        + 2.0e-4 * (xx - 500000.0)
+    )
+    seed = abs(hash((zone, tx, ty, band_idx, day, second))) % (2**32)
+    rng = np.random.default_rng(seed)
+    img = base + rng.normal(0.0, 20.0, size=(p.h, p.w))
+    img = np.clip(img, 1.0, 65535.0)  # keep clear of nodata=0
+    # nodata stripes: first scene loses the lower-left diagonal band,
+    # second scene loses the complementary upper-right band
+    ii, jj = np.mgrid[0 : p.h, 0 : p.w]
+    diag = ii + jj
+    if second:
+        img[diag >= int(1.4 * p.w)] = NODATA
+    elif (tx + ty + day) % 4 == 0:
+        # scenes that will get a same-day pair: stripe out where the pair
+        # has data (ensures the mosaic needs BOTH scenes)
+        img[diag < int(0.6 * p.w)] = NODATA
+    return img.astype(np.uint16)
+
+
+def _fmt_for(zone: int, tx: int, ty: int, day: int, band_idx: int) -> str:
+    return _FMTS[(zone + tx + 2 * ty + day + band_idx) % 3]
+
+
+def _item_id(zone: int, tx: int, ty: int, day: int, proc: str, second: bool) -> str:
+    d = BASE_DATE + dt.timedelta(days=day)
+    suff = "B" if second else "A"
+    return f"S2{suff}_T{zone}{tx}{ty}_{d.strftime('%Y%m%d')}_{proc.replace('.', '')}"
+
+
+def _tile_id(zone: int, tx: int, ty: int) -> str:
+    return f"T{zone}{chr(ord('A') + tx)}{chr(ord('B') + ty)}"
+
+
+def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
+    """Generate scenes/images/assets parquet for one scale factor.
+
+    Deterministic: same sf → byte-identical logical content. Returns the
+    output directory. Skips generation when the directory already exists
+    (unless ``force``).
+    """
+    p = PARAMS[sf]
+    out_dir = os.path.join(out_root or SYNTH_ROOT, sf)
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker) and not force:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    scenes: list[dict] = []
+    images: list[dict] = []
+    assets: list[dict] = []
+
+    def add_scene(zone, tx, ty, day, proc, second, *, buggy_bbox=False, wrong_hemi=False, interval=False):
+        item_id = _item_id(zone, tx, ty, day, proc, second)
+        if buggy_bbox:
+            item_id += "_XAM"  # distinct id for the antimeridian-bug fixture
+        x0, y_north, x1, y_south = scene_bounds(zone, tx, ty, p)
+        lon_ring, lat_ring = footprint_ring(zone, tx, ty, p)
+        bbox = [float(lon_ring.min()), float(lat_ring.min()), float(lon_ring.max()), float(lat_ring.max())]
+        if buggy_bbox:
+            bbox = [bbox[0] - 25.0, bbox[1], bbox[2], bbox[3]]  # width >= 20 deg → must be filtered (sen2.py:368-374)
+        d = BASE_DATE + dt.timedelta(days=day)
+        minute_jitter = (zone * 7 + tx * 3 + ty * 5 + (40 if second else 0)) % 50
+        t = dt.datetime(d.year, d.month, d.day, OVERPASS_UTC[0], OVERPASS_UTC[1] + minute_jitter % 29, minute_jitter, tzinfo=dt.timezone.utc)
+        proj = f"EPSG:{(32700 if wrong_hemi else 32600) + zone}"
+        scenes.append(
+            dict(
+                item_id=item_id,
+                collection=COLLECTION,
+                datetime=None if interval else t,
+                start_datetime=t - dt.timedelta(minutes=5) if interval else None,
+                end_datetime=t + dt.timedelta(minutes=5) if interval else None,
+                bbox_xmin=bbox[0], bbox_ymin=bbox[1], bbox_xmax=bbox[2], bbox_ymax=bbox[3],
+                footprint=[{"lon": float(lo), "lat": float(la)} for lo, la in zip(lon_ring, lat_ring)],
+                tile_id=_tile_id(zone, tx, ty),
+                zone=zone,
+                proj_code=proj,
+                proc_version=proc,
+                orbit_state="descending" if day % 2 == 0 else "ascending",
+                scene_x0=x0,
+                scene_y0=y_north,
+                scene_res=p.res,
+                nodata=NODATA,
+                scale=SCALE,
+                offset=OFFSET,
+            )
+        )
+        for bi, band in enumerate(p.bands):
+            img = scene_pixels(zone, tx, ty, bi, day, p, second)
+            fmt = _fmt_for(zone, tx, ty, day, bi)
+            image_id = f"{item_id}:{band}"
+            images.append(
+                dict(
+                    image_id=image_id,
+                    bytes=codecs.encode(img, fmt),
+                    w=np.int32(p.w),
+                    h=np.int32(p.h),
+                    fmt=fmt,
+                    caption=f"scene {item_id} band {band} day {d.isoformat()} tile {_tile_id(zone, tx, ty)}",
+                    phash=np.int64(codecs.phash64(img)),
+                )
+            )
+            assets.append(dict(item_id=item_id, band=band, image_id=image_id, fmt=fmt))
+
+    for day in range(p.days):
+        for zone in ZONES:
+            for ty in range(p.nty):
+                for tx in range(p.ntx):
+                    interval = (tx + ty + day) % 7 == 3
+                    wrong_hemi = zone == 33 and tx == 0 and ty == 0 and day == 0
+                    add_scene(zone, tx, ty, day, "05.00", False, interval=interval, wrong_hemi=wrong_hemi)
+                    if (tx + ty + day) % 5 == 0:
+                        # duplicate with newer processing version — dedup must keep it
+                        add_scene(zone, tx, ty, day, "05.11", False)
+                    if (tx + ty + day) % 4 == 0:
+                        # same-day second acquisition (complementary nodata stripe)
+                        add_scene(zone, tx, ty, day, "05.00", True)
+    # antimeridian-buggy item (bbox width >= 20 deg) — one per dataset
+    add_scene(ZONES[0], 0, 0, 0, "05.00", False, buggy_bbox=True)
+
+    scenes_schema = pa.schema(
+        [
+            ("item_id", pa.string()),
+            ("collection", pa.string()),
+            ("datetime", pa.timestamp("us", tz="UTC")),
+            ("start_datetime", pa.timestamp("us", tz="UTC")),
+            ("end_datetime", pa.timestamp("us", tz="UTC")),
+            ("bbox_xmin", pa.float64()),
+            ("bbox_ymin", pa.float64()),
+            ("bbox_xmax", pa.float64()),
+            ("bbox_ymax", pa.float64()),
+            ("footprint", pa.list_(pa.struct([("lon", pa.float64()), ("lat", pa.float64())]))),
+            ("tile_id", pa.string()),
+            ("zone", pa.int32()),
+            ("proj_code", pa.string()),
+            ("proc_version", pa.string()),
+            ("orbit_state", pa.string()),
+            ("scene_x0", pa.float64()),
+            ("scene_y0", pa.float64()),
+            ("scene_res", pa.float64()),
+            ("nodata", pa.float64()),
+            ("scale", pa.float64()),
+            ("offset", pa.float64()),
+        ]
+    )
+    images_schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+            ("phash", pa.int64()),
+        ]
+    )
+    assets_schema = pa.schema(
+        [("item_id", pa.string()), ("band", pa.string()), ("image_id", pa.string()), ("fmt", pa.string())]
+    )
+    pq.write_table(pa.Table.from_pylist(scenes, schema=scenes_schema), os.path.join(out_dir, "scenes.parquet"))
+    pq.write_table(pa.Table.from_pylist(images, schema=images_schema), os.path.join(out_dir, "images.parquet"))
+    pq.write_table(pa.Table.from_pylist(assets, schema=assets_schema), os.path.join(out_dir, "assets.parquet"))
+    with open(marker, "w") as f:
+        f.write(f"scenes={len(scenes)} images={len(images)}\n")
+    return out_dir
+
+
+def default_grid(sf: str, tile: int = 64) -> GridSpec:
+    """Target cube grid for a scale factor: lon/lat grid over the synthetic
+    world's core region (straddling the zone 32/33 boundary), sized so scene
+    tiles land at non-integer offsets (regrid really resamples; FIXTURES T3).
+    """
+    p = PARAMS[sf]
+    # grid res ≈ scene res in degrees at the world latitude, slightly off so
+    # source/target grids never align exactly
+    res = (p.res / geom.M_PER_DEG) * 1.1
+    span_m = p.ntx * p.w * p.res
+    m_per_deg = geom.M_PER_DEG * float(np.cos(np.radians(LAT0 + 0.5)))
+    half_lon = (span_m / m_per_deg) / 2.0
+    x0 = BOUNDARY_LON - half_lon * 1.05
+    y0 = LAT0 + (p.nty * p.h * p.res + N0 - N0) / geom.M_PER_DEG * 1.12 + 0.15
+    width = int(2 * half_lon * 1.05 / res) + 1
+    height = int((y0 - (LAT0 - 0.05)) / res) + 1
+    return GridSpec(crs="EPSG:4326", x0=round(x0, 6), y0=round(y0, 6), res=round(res, 9), width=width, height=height, tile_w=tile, tile_h=tile)
+
+
+def synth_dir_for(sf_dir: str) -> str:
+    """Map a driver sf dir (/root/testdata/sf0.01) to the synthetic
+    geospatial tables dir, generating them on first use."""
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    if sf not in PARAMS:
+        sf = "sf0.01"
+    return generate(sf)
+
+
+if __name__ == "__main__":
+    import sys
+
+    targets = sys.argv[1:] or list(PARAMS)
+    for sf in targets:
+        d = generate(sf, force=True)
+        print(sf, "->", d)
