@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 from xcube_stac_spark import cells
 from xcube_stac_spark import functions as X
 from xcube_stac_spark import synth
+from xcube_stac_spark.operators import ann as ann_op
+from xcube_stac_spark.operators import events as events_op
+from xcube_stac_spark.operators import multimodal as mm_op
 from xcube_stac_spark.operators import spatial
+from xcube_stac_spark.operators import text as text_op
 from xcube_stac_spark.plans import cube as cube_plan
 from xcube_stac_spark.sources.catalog import SceneCatalog
 
@@ -188,6 +192,118 @@ def _q_events_daily(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings / events / images)
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _aug_docs(spark, sf_dir):
+    """Corpus augmented with controlled duplicates so dedup operators have
+    real work: every 5th doc gets a near-copy (first 5 tokens dropped,
+    doc_id+100000), every 7th an exact copy (doc_id+200000). Mirrored
+    verbatim in the oracle SQL."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.lower("text").alias("text"))
+    toks = F.split(F.col("text"), " ")
+    near = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 6, F.size(toks))).alias("text"),
+    )
+    exact = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+def _q_exact_dedup(spark, sf_dir):
+    return text_op.exact_dedup(_aug_docs(spark, sf_dir))
+
+
+def _q_minhash_near_dup(spark, sf_dir):
+    return text_op.minhash_near_dups(_aug_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    return text_op.ngram_jaccard_pairs(_aug_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_simhash(spark, sf_dir):
+    return text_op.simhash(_docs(spark, sf_dir))
+
+
+def _q_simhash_near(spark, sf_dir):
+    return text_op.simhash_near_pairs(_aug_docs(spark, sf_dir), max_hamming=12)
+
+
+def _q_lang_id(spark, sf_dir):
+    return text_op.lang_id(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    return text_op.quality_score(_docs(spark, sf_dir))
+
+
+def _q_token_counts(spark, sf_dir):
+    return text_op.token_counts(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return text_op.fingerprint(_docs(spark, sf_dir))
+
+
+ANN_QUERY_IDS = (0, 1, 2)
+ANN_K = 10
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _ann_queries_df(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    return e.where(F.col("vec_id").isin(list(ANN_QUERY_IDS))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def _q_ann_topk(spark, sf_dir):
+    return ann_op.brute_force_topk(
+        _emb(spark, sf_dir), _ann_queries_df(spark, sf_dir), ANN_K
+    )
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    return ann_op.lsh_topk(_emb(spark, sf_dir), _ann_queries_df(spark, sf_dir), ANN_K)
+
+
+def _q_ann_near_dup(spark, sf_dir):
+    return ann_op.near_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+def _q_events_sessionize(spark, sf_dir):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return events_op.sessionize(ev)
+
+
+def _q_events_window(spark, sf_dir):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return events_op.tumbling_window_agg(ev, minutes=60)
+
+
+def _q_image_stats(spark, sf_dir):
+    """Multimodal decode + stats + pHash verify over the image table —
+    non-SQL-expressible (binary decode); NumPy-verified in
+    tests/test_multimodal.py; rows-only check here."""
+    imgs = _cat(spark, sf_dir).images()
+    return mm_op.image_stats(imgs).select(
+        "image_id", "fmt",
+        F.round("mean", 3).alias("mean"), F.round("std", 3).alias("std"),
+        "phash_hamming",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scene_search": _q_scene_search,
@@ -203,6 +319,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_build": _q_cube_build,
         "tpch_q1": _q_tpch_q1,
         "events_daily": _q_events_daily,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_near_dup": _q_minhash_near_dup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "simhash_near": _q_simhash_near,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality,
+        "token_counts": _q_token_counts,
+        "fingerprint": _q_fingerprint,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_near_dup": _q_ann_near_dup,
+        "events_sessionize": _q_events_sessionize,
+        "events_window": _q_events_window,
+        "image_stats": _q_image_stats,
     }
 
 
@@ -321,6 +452,279 @@ SELECT strftime(cast(ts AS date), '%Y-%m-%d') AS day, event_type,
        count(*) AS n, round(sum(value), 3) AS total_value
 FROM events GROUP BY 1, 2
 """
-    # cube_build: intentionally no SQL oracle (pixel pipeline; NumPy-oracle
-    # verified in tests/test_cube_pipeline.py) → rows-only check
+    sqls.update(_text_oracle_sql())
+    sqls.update(_ann_oracle_sql())
+    sqls.update(_events_oracle_sql())
+    # cube_build, image_stats: intentionally no SQL oracle (pixel pipelines;
+    # NumPy-oracle verified in tests/) → rows-only checks
     return sqls
+
+
+# -- text-operator oracles ---------------------------------------------------
+
+_AUG_CTE = """
+docs0 AS (SELECT doc_id, lower(text) AS text FROM documents),
+aug AS (
+  SELECT doc_id, text FROM docs0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string((string_split(text, ' '))[6:], ' ') AS text
+  FROM docs0 WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM docs0 WHERE doc_id % 7 = 0
+)"""
+
+_GRAMS_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+)"""
+
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND ga.gram = gb.gram
+  GROUP BY c.doc_a, c.doc_b
+)"""
+
+
+def _simhash_sql_terms() -> tuple[str, str]:
+    bits = text_op.SIMHASH_BITS
+    pop = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b}::bigint ELSE 0 END)" for b in range(bits)
+    )
+    return pop, combine
+
+
+def _simhash_cte(src: str) -> str:
+    pop, combine = _simhash_sql_terms()
+    return f"""
+tokset AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM {src}
+  )
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h FROM tokset
+),
+pops AS (
+  SELECT doc_id,
+    {pop}
+  FROM hashed GROUP BY doc_id
+),
+sh AS (SELECT doc_id, {combine} AS simhash FROM pops)"""
+
+
+def _text_oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    out["exact_dedup"] = f"""
+WITH {_AUG_CTE.strip()}
+SELECT md5(text) AS text_hash, min(doc_id) AS representative, count(*) AS group_size
+FROM aug GROUP BY md5(text)
+"""
+    nh = text_op.N_HASHES
+    rows_per_band = nh // text_op.N_BANDS
+    minhash_cand = f"""
+mh AS (
+  SELECT doc_id, seed,
+         min(('0x' || substr(md5(seed::varchar || '|' || gram), 1, 8))::bigint) AS minhash
+  FROM grams, LATERAL (SELECT unnest(generate_series(0, {nh - 1})) AS seed) s
+  GROUP BY doc_id, seed
+),
+bands AS (
+  -- NB: integer division; DuckDB cast(double AS int) ROUNDS, Spark truncates
+  SELECT doc_id, cast(seed // {rows_per_band} AS int) AS band,
+         md5(string_agg(minhash::varchar, ',' ORDER BY seed)) AS band_sig
+  FROM mh GROUP BY doc_id, cast(seed // {rows_per_band} AS int)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)"""
+    out["minhash_near_dup"] = f"""
+WITH {_AUG_CTE.strip()}, {_GRAMS_CTE.strip()}, {minhash_cand.strip()}, {_JACCARD_TAIL.strip()}
+SELECT i.doc_a, i.doc_b,
+       round(i.n_common / (sa.n_grams + sb.n_grams - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.n_common / (sa.n_grams + sb.n_grams - i.n_common), 6) >= 0.5
+"""
+    out["ngram_jaccard"] = f"""
+WITH {_AUG_CTE.strip()}, {_GRAMS_CTE.strip()},
+cand AS (
+  SELECT DISTINCT ga.doc_id AS doc_a, gb.doc_id AS doc_b
+  FROM grams ga JOIN grams gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+), {_JACCARD_TAIL.strip()}
+SELECT i.doc_a, i.doc_b, i.n_common,
+       round(i.n_common / (sa.n_grams + sb.n_grams - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.n_common / (sa.n_grams + sb.n_grams - i.n_common), 6) >= 0.5
+"""
+    out["simhash"] = f"""
+WITH {_simhash_cte('documents').strip()}
+SELECT doc_id, simhash FROM sh
+"""
+    out["simhash_near"] = f"""
+WITH {_AUG_CTE.strip()}, {_simhash_cte('aug').strip()},
+banded AS (
+  SELECT doc_id, simhash, k AS band, (simhash >> (15 * k)) & 32767 AS key
+  FROM sh, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) s
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+"""
+    langs = text_op.LANG_ORDER
+    score_cols = ",\n  ".join(
+        "len(list_filter(string_split(lower(text), ' '), t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in text_op.STOPWORDS[lang])
+        + f"], t))) AS score_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "CASE WHEN " + " WHEN ".join(
+        f"{best} > 0 AND score_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    pred += " ELSE 'und' END"
+    out["lang_id"] = f"""
+WITH scored AS (
+  SELECT doc_id,
+  {score_cols}
+  FROM documents
+)
+SELECT doc_id, {pred} AS lang_pred, {best} AS score,
+       score_en, score_de, score_fr, score_es
+FROM scored
+"""
+    en = ", ".join(f"'{w}'" for w in text_op.STOPWORDS["en"])
+    out["quality_score"] = f"""
+WITH q AS (
+  SELECT doc_id,
+    len(string_split(lower(text), ' ')) AS n_tokens,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+    len(list_filter(string_split(lower(text), ' '), t -> list_contains([{en}], t))) AS stop
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  round(stop / greatest(n_tokens, 1), 6) AS stop_ratio,
+  round(punct / greatest(n_chars, 1), 6) AS punct_ratio,
+  round(least(n_tokens / 100.0, 1.0) * 0.4
+        + (stop / greatest(n_tokens, 1)) * 0.4
+        + (1.0 - punct / greatest(n_chars, 1)) * 0.2, 6) AS quality
+FROM q
+"""
+    out["token_counts"] = r"""
+SELECT doc_id,
+  len(string_split_regex(text, '\s+')) AS ws_tokens,
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+FROM documents
+"""
+    out["fingerprint"] = r"""
+SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+    return out
+
+
+# -- ANN oracles -------------------------------------------------------------
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}::double[], {b}::double[]) / "
+        f"(sqrt(list_dot_product({a}::double[], {a}::double[])) * "
+        f"sqrt(list_dot_product({b}::double[], {b}::double[])))"
+    )
+
+
+def _duck_bucket(v: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {v}[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)"
+        for d in range(ann_op.SIGN_DIMS)
+    )
+    return f"({terms})"
+
+
+def _ann_oracle_sql() -> dict[str, str]:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    out: dict[str, str] = {}
+    out["ann_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN ({ids})),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round({_duck_cos('e.embedding', 'q.qvec')}, 6) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id != q.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM s)
+SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= {ANN_K}
+"""
+    out["ann_lsh_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                  {_duck_bucket('embedding')} AS bucket
+           FROM embeddings WHERE vec_id IN ({ids})),
+e AS (SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket FROM embeddings),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round({_duck_cos('e.embedding', 'q.qvec')}, 6) AS cos_sim
+  FROM e JOIN q ON e.bucket = q.bucket WHERE e.vec_id != q.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM s)
+SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= {ANN_K}
+"""
+    out["ann_near_dup"] = f"""
+WITH e AS (SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_duck_cos('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_duck_cos('a.embedding', 'b.embedding')}, 6) >= 0.35
+"""
+    return out
+
+
+# -- events oracles ----------------------------------------------------------
+
+def _events_oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    out["events_sessionize"] = f"""
+WITH l AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR (ts_us - prev_us) > {events_op.SESSION_GAP_SEC} * 1000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM l
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM f
+)
+SELECT user_id, cast(session_id AS bigint) AS session_id, count(*) AS n_events,
+       min(ts_us) // 1000000 AS t_start_sec,
+       max(ts_us) // 1000000 AS t_end_sec,
+       round(sum(value), 3) AS total_value
+FROM s GROUP BY user_id, session_id
+"""
+    out["events_window"] = """
+SELECT epoch_us(ts) // 3600000000::bigint AS window_id, event_type,
+       count(*) AS n, round(sum(value), 3) AS total_value, round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+    return out

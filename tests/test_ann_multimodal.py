@@ -1,0 +1,101 @@
+"""ANN correctness vs NumPy + multimodal decode plumbing."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from xcube_stac_spark import codecs, synth
+from xcube_stac_spark.operators import ann as ann_op
+from xcube_stac_spark.operators import multimodal as mm_op
+from xcube_stac_spark.sources.catalog import SceneCatalog
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb_np():
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    return t["vec_id"].to_numpy(), np.stack(t["embedding"].to_numpy()).astype(np.float64)
+
+
+def test_brute_force_topk_matches_numpy(spark, emb_np):
+    ids, M = emb_np
+    q = M[ids == 0][0]
+    cos = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    cos[ids == 0] = -np.inf
+    exp_top = ids[np.argsort(-cos, kind="stable")[:10]].tolist()
+    got = (
+        entry_mod._q_ann_topk(spark, SF_DIR)
+        .where(F.col("query_id") == 0)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.vec_id for r in got] == exp_top
+
+
+def test_lsh_topk_matches_numpy_within_bucket(spark, emb_np):
+    ids, M = emb_np
+    buckets = ((M[:, :8] > 0) * (1 << np.arange(8))).sum(axis=1)
+    q = M[ids == 1][0]
+    qb = buckets[ids == 1][0]
+    cand = (buckets == qb) & (ids != 1)
+    cos = (M[cand] @ q) / (np.linalg.norm(M[cand], axis=1) * np.linalg.norm(q))
+    order = np.argsort(-cos, kind="stable")[:10]
+    exp = ids[cand][order].tolist()
+    got = (
+        entry_mod._q_ann_lsh_topk(spark, SF_DIR)
+        .where(F.col("query_id") == 1)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.vec_id for r in got] == exp
+    assert len(got) <= 10  # may be < k (or 0) when the bucket is sparse
+
+
+def test_image_stats_matches_numpy(spark):
+    sdir = synth.generate("sf0.001")
+    cat = SceneCatalog(spark, sdir)
+    stats = mm_op.image_stats(cat.images().limit(64)).collect()
+    imgs = pq.read_table(f"{sdir}/images.parquet").to_pandas().set_index("image_id")
+    assert stats
+    for r in stats:
+        row = imgs.loc[r.image_id]
+        img = codecs.decode(bytes(row["bytes"]), row["fmt"], int(row["w"]), int(row["h"])).astype(np.float64)
+        assert abs(r.mean - img.mean()) < 1e-9
+        assert abs(r.std - img.std()) < 1e-9
+        if r.fmt in codecs.LOSSLESS:
+            assert r.phash_hamming == 0, r.image_id
+        else:
+            assert r.phash_hamming <= 6, r.image_id
+
+
+def test_thumbnails_block_mean(spark):
+    sdir = synth.generate("sf0.001")
+    cat = SceneCatalog(spark, sdir)
+    one = cat.images().where(F.col("fmt") == "raw").limit(1)
+    r = mm_op.thumbnails(one, tw=8, th=8).collect()[0]
+    src = one.collect()[0]
+    img = codecs.decode(bytes(src.bytes), src.fmt, src.w, src.h).astype(np.float64)
+    exp = img.reshape(8, img.shape[0] // 8, 8, img.shape[1] // 8).mean(axis=(1, 3))
+    got = np.frombuffer(r.thumb, dtype=np.uint16).reshape(8, 8)
+    np.testing.assert_array_equal(got, np.round(exp).astype(np.uint16))
+
+
+def test_frame_sample_shape(spark):
+    sdir = synth.generate("sf0.001")
+    cat = SceneCatalog(spark, sdir)
+    n = cat.images().limit(10).count()
+    rows = mm_op.frame_sample(cat.images().limit(10), n_frames=4).collect()
+    assert len(rows) == 4 * n
+
+
+def test_stubbed_formats_raise(spark):
+    df = spark.createDataFrame(
+        [("x", b"notjpeg", 4, 4, "jpeg", 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, phash long",
+    )
+    with pytest.raises(Exception) as ei:
+        mm_op.image_stats(df).collect()
+    assert "NotImplementedError" in str(ei.value) or "external codec" in str(ei.value)

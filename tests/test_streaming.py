@@ -1,0 +1,95 @@
+"""Structured-Streaming incremental cube maintenance tests."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_stac_spark import lineage, synth
+from xcube_stac_spark.plans import cube as cube_plan
+from xcube_stac_spark.sources.catalog import SceneCatalog
+from xcube_stac_spark.streaming import ingest
+
+
+@pytest.fixture()
+def stream_world(tmp_path, sf0001_dir):
+    """Catalog whose scenes table is a DIRECTORY receiving parquet drops."""
+    root = tmp_path / "cat"
+    root.mkdir()
+    scenes_dir = root / "scenes"
+    scenes_dir.mkdir()
+    for name in ("images.parquet", "assets.parquet"):
+        shutil.copy(os.path.join(sf0001_dir, name), root / name)
+    t = pq.read_table(os.path.join(sf0001_dir, "scenes.parquet"))
+    # split arrivals: first 2 solar days land first, the rest later
+    import pyarrow.compute as pc
+
+    days = pc.strftime(t["datetime"], format="%Y-%m-%d")
+    first = t.filter(pc.is_in(days, value_set=__import__("pyarrow").array(
+        ["2025-06-01", "2025-06-02"])))
+    rest_mask = pc.invert(pc.is_in(days, value_set=__import__("pyarrow").array(
+        ["2025-06-01", "2025-06-02"])))
+    rest = t.filter(rest_mask)
+    return root, scenes_dir, first, rest
+
+
+def test_incremental_cube_converges_to_batch(spark, stream_world, tmp_path):
+    root, scenes_dir, first, rest = stream_world
+    grid = synth.default_grid("sf0.001")
+    out = str(tmp_path / "cube_out")
+    ckpt = str(tmp_path / "ckpt")
+    cat = SceneCatalog(spark, str(root))
+    batches = []
+
+    pq.write_table(first, os.path.join(str(scenes_dir), "drop-0.parquet"))
+    q = ingest.run_incremental_cube(
+        spark, str(scenes_dir), cat, grid, out, ["B02"], ckpt,
+        on_batch=lambda e, n: batches.append((e, n)),
+    )
+    q.awaitTermination(120)
+    assert batches and batches[0][1] > 0
+
+    # second arrival (includes interval-datetime rows with NULL datetime)
+    pq.write_table(rest, os.path.join(str(scenes_dir), "drop-1.parquet"))
+    q2 = ingest.run_incremental_cube(
+        spark, str(scenes_dir), cat, grid, out, ["B02"], ckpt,
+        on_batch=lambda e, n: batches.append((e, n)),
+    )
+    q2.awaitTermination(120)
+
+    # converged result == one-shot batch build over the full catalog
+    batch_cube = cube_plan.build_cube(
+        cat, grid, time_range=("2025-06-01", "2025-06-30"), bands=["B02"]
+    )
+    got = {
+        (str(r.solar_day), r.band, r.tile_y, r.tile_x): (r.n_scenes, r.item_ids)
+        for r in lineage.read_cube(spark, out).collect()
+    }
+    exp = {
+        (str(r.solar_day), r.band, r.tile_y, r.tile_x): (r.n_scenes, r.item_ids)
+        for r in batch_cube.collect()
+    }
+    assert got == exp
+
+
+def test_scene_arrival_stats_stream(spark, stream_world, tmp_path):
+    root, scenes_dir, first, rest = stream_world
+    pq.write_table(first, os.path.join(str(scenes_dir), "drop-0.parquet"))
+    pq.write_table(rest, os.path.join(str(scenes_dir), "drop-1.parquet"))
+    stream = ingest.stream_scenes(spark, str(scenes_dir))
+    stats = ingest.scene_arrival_stats(stream)
+    q = (
+        stats.writeStream.outputMode("append")
+        .format("memory").queryName("arrivals")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows; with availableNow the
+    # final watermark closes all, so rows should exist
+    rows = spark.sql("select * from arrivals").collect()
+    assert rows
+    assert all(r.n_scenes >= 1 for r in rows)

@@ -1,0 +1,67 @@
+"""Semantic checks for text dedup/quality operators (beyond oracle parity)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from xcube_stac_spark.operators import text as text_op
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def aug(spark):
+    return entry_mod._aug_docs(spark, SF_DIR).cache()
+
+
+def test_exact_dedup_finds_planted_copies(spark, aug):
+    groups = text_op.exact_dedup(aug)
+    n_pairs = groups.where(F.col("group_size") == 2).count()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    expected_pairs = len([i for i in range(n_docs) if i % 7 == 0])
+    assert n_pairs == expected_pairs
+    assert groups.where(F.col("group_size") > 2).count() == 0
+
+
+def test_minhash_finds_planted_near_dups(spark, aug):
+    pairs = text_op.minhash_near_dups(aug, threshold=0.5).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    # all exact copies (jaccard 1.0) must be found — banding guarantees
+    # equal signatures collide
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    exact_expected = {(i, i + 200000) for i in range(0, n_docs, 7)}
+    assert exact_expected <= found
+    # most near-copies (first-5-tokens-dropped) should be found too
+    near_expected = {(i, i + 100000) for i in range(0, n_docs, 5)}
+    hit_rate = len(found & near_expected) / len(near_expected)
+    assert hit_rate > 0.6, hit_rate
+    # every reported pair really has jaccard >= 0.5
+    assert all(r.jaccard >= 0.5 for r in pairs)
+
+
+def test_simhash_near_includes_exact_copies(spark, aug):
+    pairs = text_op.simhash_near_pairs(aug, max_hamming=12)
+    zero = pairs.where(F.col("hamming") == 0)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert zero.count() >= len(range(0, n_docs, 7))
+
+
+def test_lang_quality_tokens_ranges(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    li = text_op.lang_id(docs)
+    assert li.where(~F.col("lang_pred").isin("en", "de", "fr", "es", "und")).count() == 0
+    q = text_op.quality_score(docs)
+    bad = q.where((F.col("quality") < 0) | (F.col("quality") > 1)).count()
+    assert bad == 0
+    t = text_op.token_counts(docs)
+    assert t.where(F.col("bpe_tokens") < F.col("ws_tokens")).count() == 0
+
+
+def test_fingerprint_invariant_to_punct(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World! 42"), (2, "hello world 42"), (3, "different text")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fingerprint for r in text_op.fingerprint(df).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]

@@ -101,6 +101,16 @@ class GridSpec:
         ty1 = min(self.n_tiles_y - 1, int((self.y0 - ymin) / (self.tile_h * self.res)))
         return [(tx, ty) for ty in range(ty0, ty1 + 1) for tx in range(tx0, tx1 + 1)]
 
+    def coarsen(self) -> "GridSpec":
+        """The next pyramid level's grid: 2x the cell size, halved (ceil)
+        pixel counts, same origin and tile size (MultiLevelDataset levels,
+        reference store.py:236-242)."""
+        return GridSpec(
+            crs=self.crs, x0=self.x0, y0=self.y0, res=self.res * 2.0,
+            width=-(-self.width // 2), height=-(-self.height // 2),
+            tile_w=self.tile_w, tile_h=self.tile_h,
+        )
+
     def to_dict(self) -> dict:
         return asdict(self)
 

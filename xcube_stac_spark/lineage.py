@@ -1,0 +1,173 @@
+"""Checkpointed, resumable cube writes with per-partition lineage + metrics.
+
+The reference has no resumability: one ``open_data`` call builds one in-memory
+dask graph, and a failure restarts everything. The north rule requires
+"resumable from per-partition checkpoints with lineage and metric emission",
+so this module adds the Iceberg-commit-log idea over plain parquet:
+
+* the cube is written partitioned by ``(solar_day, tile_y, tile_x)``;
+* each completed partition appends a JSON line to ``_commitlog/`` with its
+  key, row/byte counts, contributing item ids (lineage — the Spark analogue
+  of the reference's ``stac_items`` attrs, utils.py:938-947) and elapsed
+  time (metrics);
+* ``pending_partitions`` anti-joins the requested partition set against the
+  commit log, so a restarted job recomputes ONLY missing partitions;
+* global attrs (query params, engine version — utils.py:907-952
+  ``add_attrs``) land in ``_commitlog/_meta.json``.
+
+At 100 TB the commit log is tiny (one line per grid partition, ~10^5 lines
+for a continental cube) and the anti-join is a broadcast. If a real Iceberg
+runtime is on the classpath the same interface maps onto Iceberg snapshots;
+this hand-rolled log keeps the semantics without the jar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+COMMITLOG = "_commitlog"
+PART_COLS = ["solar_day", "tile_y", "tile_x"]
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, COMMITLOG)
+
+
+def write_meta(path: str, attrs: dict) -> None:
+    """Global lineage attrs (C13): query params, engine version, timestamps."""
+    os.makedirs(_log_dir(path), exist_ok=True)
+    with open(os.path.join(_log_dir(path), "_meta.json"), "w") as f:
+        json.dump(attrs, f, indent=2, sort_keys=True, default=str)
+
+
+def read_meta(path: str) -> dict:
+    p = os.path.join(_log_dir(path), "_meta.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def committed_partitions(spark: SparkSession, path: str) -> DataFrame:
+    """DataFrame(solar_day, tile_y, tile_x) of completed partitions."""
+    d = _log_dir(path)
+    rows = []
+    if os.path.isdir(d):
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".jsonl"):
+                with open(os.path.join(d, fn)) as f:
+                    for line in f:
+                        r = json.loads(line)
+                        rows.append((r["solar_day"], r["tile_y"], r["tile_x"]))
+    return spark.createDataFrame(
+        rows or [], "solar_day string, tile_y int, tile_x int"
+    ).withColumn("solar_day", F.to_date("solar_day"))
+
+
+def pending_partitions(cube: DataFrame, path: str) -> DataFrame:
+    """Anti-join the cube against the commit log → only not-yet-committed
+    partitions survive. This is the resume path: re-running a failed job
+    skips completed (solar_day, tile_y, tile_x) partitions entirely — and
+    because the mosaic groupBy key EQUALS the partition key, Catalyst prunes
+    the upstream work for committed partitions too when the filter is pushed
+    before the shuffle."""
+    done = committed_partitions(cube.sparkSession, path)
+    if done.isEmpty():
+        return cube
+    return cube.join(F.broadcast(done), PART_COLS, "left_anti")
+
+
+def write_cube(
+    cube: DataFrame,
+    path: str,
+    attrs: dict | None = None,
+    resume: bool = True,
+) -> dict:
+    """Write cube tiles partitioned by (solar_day, tile_y, tile_x) with a
+    commit-log entry per partition. Returns run metrics.
+
+    Implementation: one pass computes per-partition metrics (rows, bytes,
+    scenes, lineage) via groupBy — the same shuffle partitioning the write
+    uses — then the data lands via partitioned parquet append, then the
+    commit log records the completed set. Crash between data-write and
+    log-write ⇒ the partition is recomputed and overwritten idempotently
+    (dynamic partition overwrite), never duplicated.
+    """
+    spark = cube.sparkSession
+    os.makedirs(_log_dir(path), exist_ok=True)
+    if attrs:
+        write_meta(path, attrs)
+    t0 = time.perf_counter()
+    todo = pending_partitions(cube, path) if resume else cube
+    # per-partition metrics + lineage (A8) in one aggregation
+    agg_cols = [
+        F.count("*").alias("n_rows"),
+        F.sum(F.octet_length("data")).alias("bytes"),
+        F.sum("n_scenes").alias("n_scene_tiles"),
+        F.array_join(F.array_sort(F.collect_set("item_ids")), ";").alias("lineage"),
+    ]
+    metrics_rows = todo.groupBy(*PART_COLS).agg(*agg_cols).collect()
+    if not metrics_rows:
+        return {"written_partitions": 0, "elapsed_sec": 0.0, "resumed": True}
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        todo.withColumn("solar_day", F.col("solar_day").cast("string"))
+        .repartition(*PART_COLS)
+        .write.mode("overwrite")
+        .partitionBy(*PART_COLS)
+        .parquet(path)
+    )
+    elapsed = time.perf_counter() - t0
+    log_file = os.path.join(_log_dir(path), f"commit-{uuid.uuid4().hex[:12]}.jsonl")
+    with open(log_file, "w") as f:
+        for r in metrics_rows:
+            f.write(
+                json.dumps(
+                    {
+                        "solar_day": str(r["solar_day"]),
+                        "tile_y": r["tile_y"],
+                        "tile_x": r["tile_x"],
+                        "n_rows": r["n_rows"],
+                        "bytes": int(r["bytes"] or 0),
+                        "n_scene_tiles": int(r["n_scene_tiles"] or 0),
+                        "lineage": r["lineage"],
+                        "elapsed_sec_total": round(elapsed, 3),
+                    }
+                )
+                + "\n"
+            )
+    return {
+        "written_partitions": len(metrics_rows),
+        "elapsed_sec": round(elapsed, 3),
+        "partitions_per_sec": round(len(metrics_rows) / elapsed, 3) if elapsed else None,
+        "resumed": resume,
+    }
+
+
+def read_cube(spark: SparkSession, path: str) -> DataFrame:
+    """Read a written cube back (partition columns restored to types)."""
+    return (
+        spark.read.parquet(path)
+        .withColumn("solar_day", F.to_date("solar_day"))
+        .withColumn("tile_y", F.col("tile_y").cast("int"))
+        .withColumn("tile_x", F.col("tile_x").cast("int"))
+    )
+
+
+def metrics(path: str) -> list[dict]:
+    """All commit-log metric records (per-partition)."""
+    out = []
+    d = _log_dir(path)
+    if os.path.isdir(d):
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".jsonl"):
+                with open(os.path.join(d, fn)) as f:
+                    out.extend(json.loads(x) for x in f)
+    return out

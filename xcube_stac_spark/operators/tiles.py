@@ -34,6 +34,7 @@ memory at 2048² reference tile size.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Iterable, Iterator, Sequence
 
 import numpy as np
@@ -111,7 +112,15 @@ REGRID_SCHEMA = T.StructType(
         T.StructField("tile_x", T.IntegerType()),
         T.StructField("item_id", T.StringType()),
         T.StructField("t_order", T.LongType()),
-        T.StructField("data", T.BinaryType()),
+        # raw DN (uint16 LE) + packed validity bitmask: HALF the bytes of a
+        # float32 tile through the two expensive boundaries (Arrow hop +
+        # mosaic shuffle); scale/offset ride along and are applied AFTER the
+        # take-first pick (identical result to scaling first, since each
+        # pixel is scaled by its own scene's factors either way)
+        T.StructField("dn", T.BinaryType()),
+        T.StructField("mask", T.BinaryType()),
+        T.StructField("scale", T.DoubleType()),
+        T.StructField("offset", T.DoubleType()),
         T.StructField("valid", T.IntegerType()),
     ]
 )
@@ -123,9 +132,26 @@ _REGRID_IN_COLS = [
 ]
 
 
+@lru_cache(maxsize=64)
+def _tile_utm_coords(
+    grid_key: tuple, tile_x: int, tile_y: int, zone: int, south: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """UTM easting/northing of one grid tile's cell centers — CACHED per
+    worker. The projection depends only on (grid, tile, zone), NOT on the
+    scene, so every scene/band regridding the same tile reuses it; this
+    removes ~95% of the trig work (the dominant regrid cost). float64 so
+    pixel-boundary floor() decisions match the oracle bit-exactly."""
+    grid = GridSpec.from_dict(dict(grid_key))
+    lons, lats = grid.tile_cell_centers(tile_x, tile_y)
+    lon2, lat2 = np.meshgrid(lons, lats)
+    e, n = geom_mod.tm_forward(lon2, lat2, zone, south)
+    return e, n
+
+
 def _regrid_one(
     img: np.ndarray,
     grid: GridSpec,
+    grid_key: tuple,
     tile_x: int,
     tile_y: int,
     zone: int,
@@ -134,64 +160,85 @@ def _regrid_one(
     scene_y0: float,
     scene_res: float,
     nodata: float,
-    scale: float,
-    offset: float,
-) -> tuple[bytes, int] | None:
+) -> tuple[bytes, bytes, int] | None:
     """Nearest-neighbor sample one target tile from one decoded scene image.
 
-    Target cell centers (lon/lat) → scene UTM via TM forward → fractional
-    pixel indices in the scene's north-up affine → NN sample; DN==nodata and
-    out-of-scene → NaN; L = scale*DN + offset (C1). Returns (float32 bytes,
-    n_valid) or None when the tile catches no valid pixel (empty-clip drop,
-    sen2.py:704-706)."""
-    lons, lats = grid.tile_cell_centers(tile_x, tile_y)
-    lon2, lat2 = np.meshgrid(lons, lats)
-    e, n = geom_mod.tm_forward(lon2, lat2, zone, south)
+    Target cell centers (lon/lat) → scene UTM via TM forward (cached per
+    (grid, tile, zone)) → fractional pixel indices in the scene's north-up
+    affine → NN sample. Emits raw DN + packed validity bits (out-of-scene
+    and DN==nodata are invalid); the scale/offset application (C1,
+    stac_extension/raster.py:57-93) happens after the mosaic pick. Returns
+    (dn bytes, mask bytes, n_valid) or None when the tile catches no valid
+    pixel (empty-clip drop, sen2.py:704-706)."""
+    e, n = _tile_utm_coords(grid_key, tile_x, tile_y, zone, south)
     col = np.floor((e - scene_x0) / scene_res).astype(np.int64)
     row = np.floor((scene_y0 - n) / scene_res).astype(np.int64)
     h, w = img.shape
     inside = (col >= 0) & (col < w) & (row >= 0) & (row < h)
-    out = np.full(lon2.shape, np.nan, dtype=np.float32)
+    dn = np.zeros(e.shape, dtype=np.uint16)
     if inside.any():
-        dn = img[row[inside], col[inside]].astype(np.float64)
-        vals = scale * dn + offset
-        vals[dn == nodata] = np.nan
-        out[inside] = vals.astype(np.float32)
-    n_valid = int(np.isfinite(out).sum())
+        dn[inside] = img[row[inside], col[inside]]
+    valid = inside & (dn != nodata)
+    n_valid = int(valid.sum())
     if n_valid == 0:
         return None
-    return out.tobytes(), n_valid
+    return dn.tobytes(), np.packbits(valid.ravel()).tobytes(), n_valid
 
 
-def decode_regrid(scene_images: DataFrame, grid: GridSpec) -> DataFrame:
+def decode_regrid(
+    scene_images: DataFrame, grid: GridSpec, parallelism: int | None = None
+) -> DataFrame:
     """mapInPandas: (scene,band) image rows with target-tile arrays →
     long-form regridded tile rows. Decode runs once per input row; each
-    emitted tile reuses the decoded array."""
+    emitted tile reuses the decoded array.
+
+    The input is explicitly round-robin repartitioned to ~3x core count
+    first: the decode+regrid stage is the compute-heavy one and its
+    parallelism must come from the ENGINE, not from however many row groups
+    the upstream parquet had (one fat input split serialized the whole
+    stage: 0.28 measured scaling efficiency). Round-robin beats spatial
+    keying here — per-tile projection is cached per worker and measured
+    cheap (~2 ms/tile, ~1% of stage time), so load balance matters more
+    than projection-cache locality. (On a real cluster the scenes table is
+    additionally partitioned by cell key so the METADATA joins prune; that
+    is orthogonal to this decode-stage balance.)"""
     gd = grid.to_dict()
+
+    if parallelism is None:
+        parallelism = scene_images.sparkSession.sparkContext.defaultParallelism * 3
+    # skip the (bytes-heavy) exchange when the upstream scan already yields
+    # enough splits — repartition exists to FIX under-parallel inputs, not to
+    # tax well-partitioned ones with an extra full shuffle of the payload
+    if scene_images.rdd.getNumPartitions() < max(2, parallelism // 2):
+        scene_images = scene_images.repartition(parallelism)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         g = GridSpec.from_dict(gd)
+        g_key = tuple(sorted(gd.items()))
         for pdf in batches:
             rows: dict[str, list] = {k.name: [] for k in REGRID_SCHEMA.fields}
             for r in pdf.itertuples(index=False):
                 img = codecs.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
                 for t in r.grid_tiles:
                     res = _regrid_one(
-                        img, g, int(t["tile_x"]), int(t["tile_y"]),
+                        img, g, g_key, int(t["tile_x"]), int(t["tile_y"]),
                         int(r.zone), bool(r.south),
                         float(r.scene_x0), float(r.scene_y0), float(r.scene_res),
-                        float(r.nodata), float(r.scale), float(r.offset),
+                        float(r.nodata),
                     )
                     if res is None:
                         continue
-                    data, valid = res
+                    dn, mask, valid = res
                     rows["solar_day"].append(r.solar_day)
                     rows["band"].append(r.band)
                     rows["tile_y"].append(int(t["tile_y"]))
                     rows["tile_x"].append(int(t["tile_x"]))
                     rows["item_id"].append(r.item_id)
                     rows["t_order"].append(int(r.t_order))
-                    rows["data"].append(data)
+                    rows["dn"].append(dn)
+                    rows["mask"].append(mask)
+                    rows["scale"].append(float(r.scale))
+                    rows["offset"].append(float(r.offset))
                     rows["valid"].append(valid)
             yield pd.DataFrame(rows)
 
@@ -217,28 +264,49 @@ MOSAIC_SCHEMA = T.StructType(
 )
 
 
-def _take_first(stack: np.ndarray) -> np.ndarray:
-    """First non-NaN along axis 0 — the pixel core of the reference's
+def _take_first_dn(
+    dns: np.ndarray, masks: np.ndarray, scales: np.ndarray, offsets: np.ndarray
+) -> np.ndarray:
+    """First VALID DN along axis 0, scaled by the winning scene's
+    scale/offset — the pixel core of the reference's
     ``mosaic_spatial_take_first`` (utils.py:746-758: argmax over the
-    non-fill mask + da.choose), NaN where no scene contributes."""
-    mask = np.isfinite(stack)
-    first = mask.argmax(axis=0)
-    out = np.take_along_axis(stack, first[None, ...], axis=0)[0]
-    out[~mask.any(axis=0)] = np.nan
+    non-fill mask + da.choose). NaN where no scene contributes.
+
+    Scaling after selection equals scaling before it: each output pixel is
+    scale_s*DN + offset_s for its OWN winning scene s either way."""
+    first = masks.argmax(axis=0)
+    dn = np.take_along_axis(dns, first[None, :], axis=0)[0].astype(np.float64)
+    out = (scales[first] * dn + offsets[first]).astype(np.float32)
+    out[~masks.any(axis=0)] = np.nan
     return out
 
 
-def mosaic_take_first(tiles: DataFrame) -> DataFrame:
+def mosaic_take_first(tiles: DataFrame, order: str = "first") -> DataFrame:
     """Grouped take-first mosaic over (solar_day, band, tile_y, tile_x).
 
     Scene order inside a group is (t_order, item_id) ascending — the
-    engine's deterministic replacement for the reference's list order."""
+    engine's deterministic replacement for the reference's Python list
+    order (sen2.py:612-615), which would be nondeterministic under
+    distribution.
+
+    ``order="last"`` flips priority: LAST valid wins — the update-merge /
+    combine_first-reversed semantics (U3 utils.py:716-720, J10
+    hls.py:496-500); used by the multi-res merge (J7, utils.py:652-706)
+    where finer-resolution datasets update coarser ones."""
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["t_order", "item_id"], kind="mergesort")
-        arrs = [np.frombuffer(b, dtype=np.float32) for b in pdf["data"]]
-        stack = np.stack(arrs, axis=0)
-        out = _take_first(stack)
+        pdf = pdf.sort_values(
+            ["t_order", "item_id"], kind="mergesort", ascending=(order == "first")
+        )
+        dns = np.stack([np.frombuffer(b, dtype=np.uint16) for b in pdf["dn"]])
+        npix = dns.shape[1]
+        masks = np.stack(
+            [np.unpackbits(np.frombuffer(b, np.uint8))[:npix].astype(bool) for b in pdf["mask"]]
+        )
+        out = _take_first_dn(
+            dns, masks,
+            pdf["scale"].to_numpy(), pdf["offset"].to_numpy(),
+        )
         finite = np.isfinite(out)
         return pd.DataFrame(
             {
@@ -275,6 +343,18 @@ def time_spine(cube: DataFrame, t0: str, t1: str) -> DataFrame:
     keys = cube.select("band", "tile_y", "tile_x").distinct()
     spine = F.broadcast(days).crossJoin(keys)
     return spine.join(cube, ["solar_day", "band", "tile_y", "tile_x"], "left")
+
+
+def pivot_bands(df: DataFrame, bands: Sequence[str], value_col: str, group_cols: Sequence[str]) -> DataFrame:
+    """Long-form band rows → wide per-group columns (U3 variable
+    update-merge / the reference's one-variable-per-band dataset shape,
+    utils.py:628-649 naming). Conditional aggregation (not .pivot) so the
+    plan is static and the DuckDB oracle is expressible identically."""
+    aggs = [
+        F.max(F.when(F.col("band") == b, F.col(value_col))).alias(f"{b}_{value_col}")
+        for b in bands
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
 
 
 def tile_to_array(data: bytes, rows: int, cols: int) -> np.ndarray:

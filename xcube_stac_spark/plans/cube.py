@@ -65,7 +65,7 @@ def scene_images(
     if bands:
         assets = assets.where(F.col("band").isin(list(bands)))
     meta_cols = [
-        "item_id", "solar_day", "t_order", "utm_zone", "south",
+        "item_id", "tile_id", "solar_day", "t_order", "utm_zone", "south",
         "scene_x0", "scene_y0", "scene_res", "nodata", "scale", "offset",
         "bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax",
     ]

@@ -33,6 +33,28 @@ _DEFAULTS = {
     "spark.driver.memory": "48g",
 }
 
+# local-mode shuffle spill dir: tmpfs when available (the local analogue of
+# cluster NVMe shuffle volumes) — the tile pipeline moves GBs through the
+# mosaic shuffle and disk-backed /tmp throttles it
+for _d in ("/dev/shm", None):
+    if _d is not None:
+        import os as _os
+
+        if _os.path.isdir(_d) and _os.access(_d, _os.W_OK):
+            _DEFAULTS["spark.local.dir"] = _os.path.join(_d, "spark-local")
+            break
+
+
+#: one BLAS thread per Python worker — Spark provides the parallelism; a
+#: multithreaded BLAS inside each of N workers oversubscribes N*cores
+#: threads and collapses throughput (measured: 2.6x slowdown at local[32])
+_BLAS_VARS = {
+    "OMP_NUM_THREADS": "1",
+    "OPENBLAS_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "NUMEXPR_NUM_THREADS": "1",
+}
+
 
 def get_spark(
     app_name: str = "xcube_stac_spark",
@@ -48,8 +70,12 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+    for k, v in _BLAS_VARS.items():
+        os.environ.setdefault(k, v)  # local mode: workers fork from driver env
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
+    for k, v in _BLAS_VARS.items():
+        conf[f"spark.executorEnv.{k}"] = v  # cluster mode: executor JVM env
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -44,7 +44,12 @@ class SceneCatalog:
         self.fmt = fmt
 
     def _table(self, name: str) -> DataFrame:
-        path = os.path.join(self.root, f"{name}.parquet") if self.fmt == "parquet" else f"{self.root}.{name}"
+        if self.fmt != "parquet":
+            return _read(self.spark, f"{self.root}.{name}", self.fmt)
+        # single-file layout (synth fixtures) or directory layout (streaming
+        # appends / partitioned writes) — whichever exists
+        d = os.path.join(self.root, name)
+        path = d if os.path.isdir(d) else os.path.join(self.root, f"{name}.parquet")
         return _read(self.spark, path, self.fmt)
 
     # -- S4/S5/S7: the scenes (STAC items) table ---------------------------

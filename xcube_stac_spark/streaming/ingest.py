@@ -1,0 +1,123 @@
+"""Structured-Streaming ingest: incremental cube maintenance.
+
+The reference is strictly batch (SURVEY §2.9 — one ``open_data`` call, one
+dask graph). A production catalog, though, RECEIVES scenes continuously;
+this module adds the streaming half the reference lacks:
+
+* ``stream_scenes`` — file-source stream of newly-landed scene rows (in
+  production: Kafka/Kinesis of STAC item notifications; the transformations
+  are source-agnostic).
+* ``scene_arrival_stats`` — watermarked sliding-window counts per tile:
+  late scenes (satellite downlink delays) are handled by the watermark, not
+  dropped silently.
+* ``run_incremental_cube`` — foreachBatch: each micro-batch of new scenes
+  runs the SAME batch operators (dedup → decode → regrid → mosaic) against
+  the images table and upserts the affected cube partitions through the
+  commit-log writer (lineage.write_cube with resume=False over the
+  partition subset) — exactly-once per partition because the mosaic output
+  key equals the write partition key.
+
+Re-mosaicking on late arrivals: a micro-batch recomputes every (solar_day,
+band, tile) partition any of its scenes touches, reading ALL contributing
+scenes for those partitions from the catalog (not just the batch), so the
+take-first order stays globally deterministic regardless of arrival order.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xcube_stac_spark import lineage
+from xcube_stac_spark.gridspec import GridSpec
+from xcube_stac_spark.operators import spatial, tiles
+from xcube_stac_spark.plans import cube as cube_plan
+from xcube_stac_spark.sources.catalog import SceneCatalog
+
+SCENES_DDL = (
+    "item_id string, collection string, datetime timestamp, "
+    "start_datetime timestamp, end_datetime timestamp, "
+    "bbox_xmin double, bbox_ymin double, bbox_xmax double, bbox_ymax double, "
+    "footprint array<struct<lon:double,lat:double>>, tile_id string, "
+    "zone int, proj_code string, proc_version string, orbit_state string, "
+    "scene_x0 double, scene_y0 double, scene_res double, "
+    "nodata double, scale double, offset double"
+)
+
+
+def stream_scenes(spark: SparkSession, watch_dir: str) -> DataFrame:
+    """File-source scene stream (one parquet drop per arrival batch)."""
+    return (
+        spark.readStream.schema(SCENES_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(watch_dir)
+    )
+
+
+def scene_arrival_stats(
+    scene_stream: DataFrame, window: str = "1 day", watermark: str = "2 days"
+) -> DataFrame:
+    """Watermarked tumbling-window arrival counts per tile — the streaming
+    twin of lineage_per_time (A8)."""
+    ts = F.coalesce(F.col("datetime"), F.col("start_datetime"))
+    return (
+        scene_stream.withColumn("ts", ts)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("tile_id"))
+        .agg(
+            F.count("*").alias("n_scenes"),
+            F.approx_count_distinct("proc_version").alias("n_versions"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "tile_id", "n_scenes", "n_versions",
+        )
+    )
+
+
+def run_incremental_cube(
+    spark: SparkSession,
+    watch_dir: str,
+    cat: SceneCatalog,
+    grid: GridSpec,
+    out_path: str,
+    bands: Sequence[str],
+    checkpoint_dir: str,
+    on_batch: Callable[[int, int], None] | None = None,
+):
+    """Start a stream that maintains the cube incrementally.
+
+    Each micro-batch: the new scenes' solar days + grid tiles define the
+    DIRTY partition set; the batch pipeline recomputes exactly those
+    partitions from the full catalog and overwrites them (idempotent —
+    dynamic partition overwrite + commit log)."""
+    stream = stream_scenes(spark, watch_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new = spatial.with_solar_day(
+            spatial.search_scenes(batch_df, bbox=grid.bbox())
+        )
+        dirty_days = [r[0] for r in new.select("solar_day").distinct().collect()]
+        if not dirty_days:
+            return
+        # recompute all partitions of the dirty solar days from the full
+        # catalog so late arrivals merge deterministically with older scenes
+        cube = cube_plan.build_cube(
+            cat, grid,
+            time_range=(f"{min(dirty_days)} 00:00:00", f"{max(dirty_days)} 23:59:59"),
+            bands=bands,
+        ).where(F.col("solar_day").isin(dirty_days))
+        m = lineage.write_cube(cube, out_path, resume=False)
+        if on_batch:
+            on_batch(epoch_id, m["written_partitions"])
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

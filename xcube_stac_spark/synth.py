@@ -285,11 +285,68 @@ def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
         [("item_id", pa.string()), ("band", pa.string()), ("image_id", pa.string()), ("fmt", pa.string())]
     )
     pq.write_table(pa.Table.from_pylist(scenes, schema=scenes_schema), os.path.join(out_dir, "scenes.parquet"))
-    pq.write_table(pa.Table.from_pylist(images, schema=images_schema), os.path.join(out_dir, "images.parquet"))
+    # small row groups keep the pixel table SPLITTABLE: a single row group
+    # cannot be divided across Spark input partitions, which would serialize
+    # the decode stage no matter how many cores exist
+    pq.write_table(
+        pa.Table.from_pylist(images, schema=images_schema),
+        os.path.join(out_dir, "images.parquet"),
+        row_group_size=32,
+    )
     pq.write_table(pa.Table.from_pylist(assets, schema=assets_schema), os.path.join(out_dir, "assets.parquet"))
     with open(marker, "w") as f:
         f.write(f"scenes={len(scenes)} images={len(images)}\n")
     return out_dir
+
+
+def swath_rows(n: int = 4, rows: int = 40, cols: int = 30) -> list[dict]:
+    """Deterministic synthetic swath granules — the Sentinel-3 analogue of
+    the reference fixtures: skewed (0.2) + rotated (-25 deg) 2-D lon/lat
+    with cos(lat) stretch (test/sampledata.py:255-291), elevation ramp
+    0..1000 m and constant unit viewing angles (sampledata.py:359-451).
+    Returned as plain dicts with float64/float32 binary planes for a Spark
+    ``swaths`` DataFrame (schema in operators/swath.py).
+    """
+    out = []
+    theta = np.radians(-25.0)
+    for i in range(n):
+        jj, ii = np.meshgrid(np.arange(cols), np.arange(rows))
+        x = jj * 0.02 + ii * 0.2 * 0.02  # skew 0.2
+        y = ii * 0.02
+        xr = x * np.cos(theta) - y * np.sin(theta)
+        yr = x * np.sin(theta) + y * np.cos(theta)
+        lat0 = 49.2 + 0.3 * i
+        lat = lat0 + yr
+        lon = (11.2 + 0.25 * i) + xr / np.cos(np.radians(lat0))
+        elev = np.broadcast_to(
+            np.linspace(0.0, 1000.0, cols), (rows, cols)
+        ).copy()
+        zenith = np.full((rows, cols), 30.0 + i)
+        azimuth = np.full((rows, cols), 120.0 + 5 * i)
+        vals = (
+            250.0 + 10.0 * np.sin(ii / 7.0) + 5.0 * np.cos(jj / 5.0) + i
+        ).astype(np.float32)
+        out.append(
+            dict(
+                item_id=f"S3_{i:03d}",
+                var="lst",
+                rows=rows,
+                cols=cols,
+                lon=lon.astype(np.float64).tobytes(),
+                lat=lat.astype(np.float64).tobytes(),
+                elev=elev.astype(np.float64).tobytes(),
+                zenith=zenith.astype(np.float64).tobytes(),
+                azimuth=azimuth.astype(np.float64).tobytes(),
+                values=vals.tobytes(),
+            )
+        )
+    return out
+
+
+SWATH_DDL = (
+    "item_id string, var string, rows int, cols int, lon binary, lat binary, "
+    "elev binary, zenith binary, azimuth binary, values binary"
+)
 
 
 def default_grid(sf: str, tile: int = 64) -> GridSpec:
