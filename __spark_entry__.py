@@ -304,6 +304,93 @@ def _q_image_stats(spark, sf_dir):
     )
 
 
+def _q_band_pivot(spark, sf_dir):
+    """U3 variable update-merge shape: long band rows → wide per-item
+    columns via conditional aggregation (tiles.pivot_bands)."""
+    from xcube_stac_spark.operators import tiles as tiles_op
+
+    assets = _cat(spark, sf_dir).assets()
+    return tiles_op.pivot_bands(assets, ["B02", "B03", "B04"], "fmt", ["item_id"])
+
+
+def _q_salted_spatial_join(spark, sf_dir):
+    """Same result as spatial_join_region, executed through the explicit
+    salted equi-join (skew path) instead of the broadcast path — the oracle
+    equality proves the two physical strategies agree."""
+    scenes = _searched(spark, sf_dir)
+    cells_df = spatial.region_cells_df(spark, REGION, LEVEL)
+    covered = spatial.cover_with_cells(scenes, LEVEL)
+    joined = spatial.salted_cell_join(covered, cells_df, on="cell", salt=8)
+    x0, y0, x1, y1 = REGION
+    return (
+        joined.dropDuplicates(["item_id"])
+        .where(
+            X.bbox_intersects(
+                F.col("bbox_xmin"), F.col("bbox_ymin"),
+                F.col("bbox_xmax"), F.col("bbox_ymax"), x0, y0, x1, y1,
+            )
+        )
+        .select("item_id", "tile_id")
+    )
+
+
+def _q_uv_clip(spark, sf_dir):
+    """J6/F12 TPS-UV swath clip — not SQL-expressible (thin-plate-spline
+    solve); NumPy-verified in tests/test_swath_pyramid.py."""
+    from xcube_stac_spark.operators import swath as swath_op
+
+    scenes = _searched(spark, sf_dir)
+    out = swath_op.uv_clip_scenes(scenes, REGION)
+    return out.select(
+        "item_id", "hit",
+        F.round("u0", 6).alias("u0"), F.round("v0", 6).alias("v0"),
+        F.round("u1", 6).alias("u1"), F.round("v1", 6).alias("v1"),
+    )
+
+
+def _q_orthorectify(spark, sf_dir):
+    """J11 parallax correction over synthetic swaths — rows-only (binary
+    geolocation planes); formula-verified in tests."""
+    from xcube_stac_spark import synth as synth_mod
+    from xcube_stac_spark.operators import swath as swath_op
+
+    swaths = spark.createDataFrame(synth_mod.swath_rows(), synth_mod.SWATH_DDL)
+    return swath_op.orthorectify(swaths).select("item_id", "rows", "cols")
+
+
+def _q_rectify_swath(spark, sf_dir):
+    """J12 curvilinear→regular rectification — rows-only; NumPy-verified."""
+    from xcube_stac_spark import synth as synth_mod
+    from xcube_stac_spark.gridspec import GridSpec
+    from xcube_stac_spark.operators import swath as swath_op
+
+    swaths = spark.createDataFrame(synth_mod.swath_rows(), synth_mod.SWATH_DDL)
+    grid = GridSpec("EPSG:4326", x0=11.0, y0=50.5, res=0.02, width=80, height=70, tile_w=40, tile_h=35)
+    return swath_op.rectify_swath(swaths, grid).select(
+        "item_id", "var", "tile_y", "tile_x", "valid"
+    )
+
+
+def _q_pyramid(spark, sf_dir):
+    """MultiLevelDataset pyramid — per-level tile counts; rows-only
+    (nanmean parity NumPy-verified in tests)."""
+    from xcube_stac_spark.operators import pyramid as pyr_op
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    if sf not in synth.PARAMS:
+        sf = "sf0.01"
+    cat = _cat(spark, sf_dir)
+    grid = synth.default_grid(sf)
+    cube = cube_plan.build_cube(
+        cat, grid, time_range=("2025-06-01", "2025-06-03"), bands=["B02"]
+    )
+    pyr = pyr_op.build_pyramid(cube, grid, levels=2)
+    return pyr.groupBy("level").agg(
+        F.count("*").alias("n_tiles"),
+        F.round(F.avg("valid_frac"), 4).alias("avg_valid_frac"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scene_search": _q_scene_search,
@@ -334,6 +421,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_window": _q_events_window,
         "image_stats": _q_image_stats,
+        "band_pivot": _q_band_pivot,
+        "salted_spatial_join": _q_salted_spatial_join,
+        "uv_clip": _q_uv_clip,
+        "orthorectify": _q_orthorectify,
+        "rectify_swath": _q_rectify_swath,
+        "pyramid": _q_pyramid,
     }
 
 
@@ -452,6 +545,15 @@ SELECT strftime(cast(ts AS date), '%Y-%m-%d') AS day, event_type,
        count(*) AS n, round(sum(value), 3) AS total_value
 FROM events GROUP BY 1, 2
 """
+    sqls["band_pivot"] = f"""
+SELECT item_id,
+  max(CASE WHEN band = 'B02' THEN fmt END) AS B02_fmt,
+  max(CASE WHEN band = 'B03' THEN fmt END) AS B03_fmt,
+  max(CASE WHEN band = 'B04' THEN fmt END) AS B04_fmt
+FROM read_parquet('{SYNTH_SF001}/assets.parquet') GROUP BY item_id
+"""
+    # the salted join must produce EXACTLY the broadcast join's result
+    sqls["salted_spatial_join"] = sqls["spatial_join_region"]
     sqls.update(_text_oracle_sql())
     sqls.update(_ann_oracle_sql())
     sqls.update(_events_oracle_sql())

@@ -222,6 +222,33 @@ def points_in_scenes(
     return cand.where(pip(F.col("lon"), F.col("lat"), F.col("footprint"))).drop("footprint")
 
 
+def salted_cell_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str = "cell",
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join on a hot key: the BIG side appends
+    ``pmod(hash(<all cols>), salt)`` to the key; the SMALL side explodes
+    every row into all ``salt`` variants. Hot cells (a megacity cell with
+    10^6 scenes) split into ``salt`` reduce tasks instead of one straggler.
+
+    AQE's skew-join split covers sort-merge joins at runtime; this explicit
+    variant exists for (a) broadcast-ineligible small sides, (b) engines/
+    configs without AQE, and (c) deterministic task sizing at the 10^12-row
+    scale where the planner's stats go stale. Salt=8 multiplies the small
+    side 8x — use only when the small side is genuinely small."""
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt))
+    )
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = big_s.join(small_s, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
 # ---------------------------------------------------------------------------
 # J2: (solar day, tile) grouping + latest-processing-version dedup
 # ---------------------------------------------------------------------------
