@@ -304,6 +304,21 @@ def _q_image_stats(spark, sf_dir):
     )
 
 
+def _q_mean_time_per_group(spark, sf_dir):
+    """A3: mean timestamp per (solar_day, orbit_state) group — the Sen3
+    int64-view datetime averaging (sen3.py:583-589), as epoch seconds."""
+    df = spatial.with_solar_day(_searched(spark, sf_dir)).withColumn(
+        "t_sec", F.expr("unix_micros(nominal_datetime) div 1000000")
+    )
+    # all-integer mean (sum div count) so both engines are bit-exact
+    return df.groupBy(
+        F.col("solar_day").cast("string").alias("solar_day"), "orbit_state"
+    ).agg(
+        F.expr("sum(t_sec) div count(*)").alias("mean_epoch_sec"),
+        F.count("*").alias("n_items"),
+    )
+
+
 def _q_band_pivot(spark, sf_dir):
     """U3 variable update-merge shape: long band rows → wide per-item
     columns via conditional aggregation (tiles.pivot_bands)."""
@@ -421,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_window": _q_events_window,
         "image_stats": _q_image_stats,
+        "mean_time_per_group": _q_mean_time_per_group,
         "band_pivot": _q_band_pivot,
         "salted_spatial_join": _q_salted_spatial_join,
         "uv_clip": _q_uv_clip,
@@ -544,6 +560,18 @@ GROUP BY l_returnflag, l_linestatus
 SELECT strftime(cast(ts AS date), '%Y-%m-%d') AS day, event_type,
        count(*) AS n, round(sum(value), 3) AS total_value
 FROM events GROUP BY 1, 2
+"""
+    sqls["mean_time_per_group"] = f"""
+WITH {_SEARCH_CTE.strip()}, {_SOLAR_CTE.strip()},
+n AS (
+  SELECT solar_day, orbit_state,
+         epoch_us(coalesce(datetime, start_datetime + (end_datetime - start_datetime) / 2)) // 1000000 AS t_sec
+  FROM solar
+)
+SELECT solar_day, orbit_state,
+       sum(t_sec) // count(*) AS mean_epoch_sec,
+       count(*) AS n_items
+FROM n GROUP BY solar_day, orbit_state
 """
     sqls["band_pivot"] = f"""
 SELECT item_id,

@@ -174,6 +174,28 @@ def scaled_value(dn: Column, scale: Column, offset: Column, nodata: Column) -> C
 # ---------------------------------------------------------------------------
 
 
+def resolve_band_asset(
+    band: str, spatial_res: float | None, available: list[str],
+    res_options: tuple[float, ...] = (10.0, 20.0, 60.0),
+) -> str | None:
+    """Resolution-aware asset name resolution (F7, sen2.py:232-245):
+    prefer ``{band}_{res}m`` for the requested resolution, else the nearest
+    available of res_options by |res - option| argsort, else the bare band.
+    Driver-side (broadcast map at scale) — returns None when nothing fits."""
+    if band in available and spatial_res is None:
+        return band
+    order = (
+        sorted(res_options, key=lambda r: abs((spatial_res or res_options[0]) - r))
+        if spatial_res is not None
+        else list(res_options)
+    )
+    for r in order:
+        cand = f"{band}_{int(r)}m"
+        if cand in available:
+            return cand
+    return band if band in available else None
+
+
 def band_var_name(asset: Column, var: Column | None = None) -> Column:
     """'{asset}' or '{asset}_{var}' rename rule (utils.py:628-649)."""
     if var is None:
