@@ -837,7 +837,7 @@ WITH l AS (
   FROM events
 ),
 f AS (
-  SELECT *, CASE WHEN prev_us IS NULL OR (ts_us - prev_us) > {events_op.SESSION_GAP_SEC} * 1000000
+  SELECT *, CASE WHEN prev_us IS NULL OR (ts_us - prev_us) >= {events_op.SESSION_GAP_SEC} * 1000000
                  THEN 1 ELSE 0 END AS new_sess
   FROM l
 ),

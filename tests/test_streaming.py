@@ -74,6 +74,62 @@ def test_incremental_cube_converges_to_batch(spark, stream_world, tmp_path):
     assert got == exp
 
 
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Streaming session_window sessions == batch lag+cumsum sessions
+    (same 30-min gap): identical session count and per-user event totals."""
+    from pyspark.sql import functions as F
+
+    from xcube_stac_spark.operators import events as events_op
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    ev_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(ev_schema).parquet("/root/testdata/sf0.001/")
+    )
+    # restrict to the events file via schema? the dir has other tables —
+    # stage a dedicated dir instead
+    import shutil, os
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(src, d / "events.parquet")
+    stream = spark.readStream.schema(ev_schema).parquet(str(d))
+    sess = ingest.session_stats_stream(stream, gap="30 minutes")
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory").queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sessions").collect()
+    assert got
+    batch_all = events_op.sessionize(spark.read.parquet(src), gap_sec=1800).collect()
+    # append mode only emits sessions whose window end (last event + gap)
+    # has passed the final watermark (max ts - 1h); still-open sessions
+    # stay in state — compare against the same subset of batch sessions
+    import pandas as pd
+
+    ev = pd.read_parquet(src)
+    wm_sec = int((ev.ts.max() - pd.Timedelta("1 hour")).timestamp())
+    batch = [r for r in batch_all if r.t_end_sec + 1800 <= wm_sec]
+    # session COUNT per user must match between the two formulations
+    from collections import Counter
+
+    gc = Counter(r.user_id for r in got)
+    bc = Counter(r.user_id for r in batch)
+    assert gc == bc
+    # and total events per user
+    ge = Counter()
+    be = Counter()
+    for r in got:
+        ge[r.user_id] += r.n_events
+    for r in batch:
+        be[r.user_id] += r.n_events
+    assert ge == be
+
+
 def test_scene_arrival_stats_stream(spark, stream_world, tmp_path):
     root, scenes_dir, first, rest = stream_world
     pq.write_table(first, os.path.join(str(scenes_dir), "drop-0.parquet"))

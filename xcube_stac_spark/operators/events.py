@@ -25,10 +25,13 @@ def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
         events.withColumn("ts_us", ts_us)
         .withColumn("prev_us", F.lag("ts_us").over(w))
         .withColumn(
+            # a gap of EXACTLY gap_sec starts a new session (>=): the same
+            # convention as Spark's session_window, whose per-event window
+            # [ts, ts+gap) merges only with events strictly inside it
             "new_sess",
             F.when(
                 F.col("prev_us").isNull()
-                | ((F.col("ts_us") - F.col("prev_us")) > gap_sec * 1_000_000),
+                | ((F.col("ts_us") - F.col("prev_us")) >= gap_sec * 1_000_000),
                 1,
             ).otherwise(0),
         )

@@ -73,6 +73,54 @@ class SceneCatalog:
         cols = ["item_id"] + (include_attrs or [])
         return self.scenes().select(*cols)
 
+    # -- Iceberg-style physical layout ---------------------------------------
+    def materialize_layout(self, dst_root: str) -> "SceneCatalog":
+        """Rewrite the catalog into the at-scale physical layout:
+
+        * ``scenes`` partitioned by (collection, month) and sorted within
+          partitions by the spatial cell id of the bbox center — so bbox +
+          time searches become partition pruning + row-group min/max skips
+          (the hand-rolled equivalent of Iceberg partition specs + sort
+          orders; swap in `spark.read.format("iceberg")` when the runtime
+          jar is present).
+        * ``images`` bucket-sorted by image_id (the join key to assets).
+
+        Returns a catalog over the new root."""
+        import pyspark.sql.functions as F2
+
+        from xcube_stac_spark import functions as X
+
+        os.makedirs(dst_root, exist_ok=True)
+        scenes = self.scenes().withColumn(
+            "month",
+            F2.date_format(F2.coalesce("datetime", "start_datetime"), "yyyy-MM"),
+        ).withColumn(
+            "center_cell",
+            X.cell_id_expr(
+                (F.col("bbox_xmin") + F.col("bbox_xmax")) / 2,
+                (F.col("bbox_ymin") + F.col("bbox_ymax")) / 2,
+            ),
+        )
+        (
+            # global range sort (not repartition+sortWithinPartitions): AQE
+            # partition coalescing concatenates hash partitions and would
+            # break the within-file cell order; range partitions stay sorted
+            # under coalesce because only ADJACENT ranges merge
+            scenes.orderBy("collection", "month", "center_cell")
+            .write.mode("overwrite")
+            .partitionBy("collection", "month")
+            .parquet(os.path.join(dst_root, "scenes"))
+        )
+        (
+            self.images()
+            .repartition(16, "image_id")
+            .sortWithinPartitions("image_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(dst_root, "images"))
+        )
+        self.assets().write.mode("overwrite").parquet(os.path.join(dst_root, "assets"))
+        return SceneCatalog(self.spark, dst_root, self.fmt)
+
     # -- S6/S3: collection-level metadata (utils.py:521-549, :143-168) -----
     def collections(self) -> DataFrame:
         """Collection extents derived by aggregation (the reference reads

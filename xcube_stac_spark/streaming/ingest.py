@@ -77,6 +77,34 @@ def scene_arrival_stats(
     )
 
 
+def session_stats_stream(
+    event_stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming sessionization via ``session_window`` — the stateful
+    windowed twin of the batch lag+cumsum sessionize (operators/events.py):
+    events of one user within ``gap`` of each other merge into one session;
+    the watermark closes sessions whose gap has definitively elapsed (late
+    events within the watermark still extend their session)."""
+    # parquet naive timestamps arrive as TIMESTAMP_NTZ in Spark 4; event-time
+    # watermarks require TIMESTAMP (session TZ is pinned UTC → same instant)
+    event_stream = event_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        event_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_incremental_cube(
     spark: SparkSession,
     watch_dir: str,
