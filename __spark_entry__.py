@@ -304,6 +304,25 @@ def _q_image_stats(spark, sf_dir):
     )
 
 
+def _q_angles_cube(spark, sf_dir):
+    """C14/C15: viewing-angle planes (23x23 @ tile-span/23 ≈ 5 km) regrid
+    through the SAME pipeline as spectral bands — per-asset resolution and
+    scaling. Rows-only here; NumPy-oracle parity in tests."""
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    if sf not in synth.PARAMS:
+        sf = "sf0.01"
+    cat = _cat(spark, sf_dir)
+    grid = synth.default_grid(sf)
+    cube = cube_plan.build_cube(
+        cat, grid, time_range=("2025-06-01", "2025-06-03"), bands=["VZA", "VAA"]
+    )
+    return cube.select(
+        F.col("solar_day").cast("string").alias("solar_day"),
+        "band", "tile_y", "tile_x", "n_scenes",
+        F.round("valid_frac", 6).alias("valid_frac"),
+    )
+
+
 def _q_mean_time_per_group(spark, sf_dir):
     """A3: mean timestamp per (solar_day, orbit_state) group — the Sen3
     int64-view datetime averaging (sen3.py:583-589), as epoch seconds."""
@@ -436,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_window": _q_events_window,
         "image_stats": _q_image_stats,
+        "angles_cube": _q_angles_cube,
         "mean_time_per_group": _q_mean_time_per_group,
         "band_pivot": _q_band_pivot,
         "salted_spatial_join": _q_salted_spatial_join,

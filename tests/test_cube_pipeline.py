@@ -87,6 +87,32 @@ def test_antimeridian_item_excluded(built):
         assert "_XAM" not in r.item_ids
 
 
+def test_angle_bands_regrid_like_spectral(spark, sf0001_dir):
+    """C14/C15: 23x23 angle planes (different res + scaling per asset) flow
+    through the same pipeline and match the NumPy oracle bit-exactly."""
+    grid = synth.default_grid("sf0.001")
+    cat = SceneCatalog(spark, sf0001_dir)
+    df = cube_plan.build_cube(
+        cat, grid, time_range=("2025-06-01", "2025-06-03"), bands=["VZA"]
+    )
+    rows = df.collect()
+    assert rows
+    ocube = oracle.build_cube_numpy(
+        sf0001_dir, grid, time_range=("2025-06-01", "2025-06-03"), bands=["VZA"]
+    )
+    got_keys = {(r.solar_day.isoformat(), r.band, r.tile_y, r.tile_x) for r in rows}
+    assert got_keys == set(ocube.tiles.keys())
+    for r in rows:
+        key = (r.solar_day.isoformat(), r.band, r.tile_y, r.tile_x)
+        exp = ocube.tiles[key]
+        got = tiles_op.tile_to_array(r.data, exp.shape[0], exp.shape[1])
+        both_nan = np.isnan(got) & np.isnan(exp)
+        assert np.array_equal(got[~both_nan], exp[~both_nan]), key
+        # angle values decode to plausible degrees (scale 0.01, offset -0.01)
+        finite = got[np.isfinite(got)]
+        assert finite.size and (finite >= 0).all() and (finite <= 360).all()
+
+
 def test_empty_region_returns_no_rows(spark, sf0001_dir):
     grid = synth.default_grid("sf0.001")
     cat = SceneCatalog(spark, sf0001_dir)

@@ -97,18 +97,29 @@ def select_scenes_pandas(
 
 
 def regrid_scene_band(
-    img: np.ndarray, grid: GridSpec, scene_row, tile_list
+    img: np.ndarray,
+    grid: GridSpec,
+    scene_row,
+    tile_list,
+    res: float | None = None,
+    scale: float | None = None,
+    offset: float | None = None,
+    nodata: float | None = None,
 ) -> dict[tuple[int, int], np.ndarray]:
     """Regrid one decoded image onto all target tiles it touches —
     whole-extent vectorized (different structure than the engine's per-tile
-    kernel)."""
+    kernel). Per-asset res/scale/offset/nodata override the scene values."""
+    res = scene_row.scene_res if res is None else res
+    scale = scene_row.scale if scale is None else scale
+    offset = scene_row.offset if offset is None else offset
+    nodata = scene_row.nodata if nodata is None else nodata
     out: dict[tuple[int, int], np.ndarray] = {}
     for tx, ty in tile_list:
         lons, lats = grid.tile_cell_centers(tx, ty)
         lon2, lat2 = np.meshgrid(lons, lats)
         e, n = geom.tm_forward(lon2, lat2, int(scene_row.zone), bool(scene_row.south))
-        colf = (e - scene_row.scene_x0) / scene_row.scene_res
-        rowf = (scene_row.scene_y0 - n) / scene_row.scene_res
+        colf = (e - scene_row.scene_x0) / res
+        rowf = (scene_row.scene_y0 - n) / res
         ci = np.floor(colf).astype(np.int64)
         ri = np.floor(rowf).astype(np.int64)
         h, w = img.shape
@@ -116,8 +127,8 @@ def regrid_scene_band(
         tile = np.full(lon2.shape, np.nan, np.float32)
         if ok.any():
             dn = img[ri[ok], ci[ok]].astype(np.float64)
-            v = scene_row.scale * dn + scene_row.offset
-            v[dn == scene_row.nodata] = np.nan
+            v = scale * dn + offset
+            v[dn == nodata] = np.nan
             tile[ok] = v.astype(np.float32)
         if np.isfinite(tile).any():
             out[(tx, ty)] = tile
@@ -154,7 +165,15 @@ def build_cube_numpy(
         for arow in a[a["item_id"] == srow.item_id].itertuples(index=False):
             irow = images.loc[arow.image_id]
             img = codecs.decode(bytes(irow["bytes"]), irow["fmt"], int(irow["w"]), int(irow["h"]))
-            for (tx, ty), tile in regrid_scene_band(img, grid, srow, tile_list).items():
+            asset_meta = dict(
+                res=getattr(arow, "res", None),
+                scale=getattr(arow, "scale", None),
+                offset=getattr(arow, "offset", None),
+                nodata=getattr(arow, "nodata", None),
+            )
+            for (tx, ty), tile in regrid_scene_band(
+                img, grid, srow, tile_list, **asset_meta
+            ).items():
                 key = (srow.solar_day.isoformat(), arow.band, ty, tx)
                 contrib.setdefault(key, []).append((srow.t_order, srow.item_id, tile))
 

@@ -64,16 +64,45 @@ def scene_images(
     assets = cat.assets()
     if bands:
         assets = assets.where(F.col("band").isin(list(bands)))
+    # per-ASSET raster metadata wins over scene defaults (the reference's
+    # raster extension is per-asset: stac_extension/raster.py:96-115, and
+    # band resolutions differ — B02@10m vs VZA@5km)
     meta_cols = [
         "item_id", "tile_id", "solar_day", "t_order", "utm_zone", "south",
-        "scene_x0", "scene_y0", "scene_res", "nodata", "scale", "offset",
+        "scene_x0", "scene_y0", "scene_res",
+        F.col("nodata").alias("scene_nodata"),
+        F.col("scale").alias("scene_scale"),
+        F.col("offset").alias("scene_offset"),
         "bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax",
     ]
-    sel = scenes.select(*meta_cols).join(assets.select("item_id", "band", "image_id"), "item_id")
+    asset_cols = ["item_id", "band", "image_id"]
+    has_asset_meta = "res" in assets.columns
+    if has_asset_meta:
+        asset_cols += [
+            F.col("res").alias("asset_res"),
+            F.col("scale").alias("asset_scale"),
+            F.col("offset").alias("asset_offset"),
+            F.col("nodata").alias("asset_nodata"),
+        ]
+    sel = scenes.select(*meta_cols).join(assets.select(*asset_cols), "item_id")
+    if has_asset_meta:
+        sel = (
+            sel.withColumn("scene_res", F.coalesce("asset_res", "scene_res"))
+            .withColumn("scale", F.coalesce("asset_scale", "scene_scale"))
+            .withColumn("offset", F.coalesce("asset_offset", "scene_offset"))
+            .withColumn("nodata", F.coalesce("asset_nodata", "scene_nodata"))
+            .drop("asset_res", "asset_scale", "asset_offset", "asset_nodata")
+        )
+    else:
+        sel = (
+            sel.withColumnRenamed("scene_scale", "scale")
+            .withColumnRenamed("scene_offset", "offset")
+            .withColumnRenamed("scene_nodata", "nodata")
+        )
     return (
         sel.join(cat.images(), "image_id")
         .withColumnRenamed("utm_zone", "zone")
-        .drop("caption", "phash")
+        .drop("caption", "phash", "scene_scale", "scene_offset", "scene_nodata")
     )
 
 

@@ -212,22 +212,47 @@ def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
                 offset=OFFSET,
             )
         )
-        for bi, band in enumerate(p.bands):
-            img = scene_pixels(zone, tx, ty, bi, day, p, second)
-            fmt = _fmt_for(zone, tx, ty, day, bi)
+        # C14/C15 angle grids: the reference extracts 23x23 zenith/azimuth
+        # planes at 5 km from granule XML (sen2.py:997-1112) and resamples
+        # them like coarse rasters. Here they ARE coarse rasters: two extra
+        # 23x23 assets per item (VZA/VAA) flowing through the identical
+        # decode+regrid pipeline (scale 0.01, DN offset +1 keeps 0 free for
+        # nodata).
+        # per-asset (band) raster-extension scaling, reference
+        # stac_extension/raster.py:96-115 — spectral bands share one set,
+        # angle planes another (deg = 0.01*DN - 0.01)
+        band_imgs = [
+            (band, scene_pixels(zone, tx, ty, bi, day, p, second), _fmt_for(zone, tx, ty, day, bi), p.res, SCALE, OFFSET)
+            for bi, band in enumerate(p.bands)
+        ]
+        e_mid = (x0 + x1) / 2.0
+        ang_base = (zone * 13 + tx * 7 + ty * 11 + day) % 60
+        jj, ii = np.meshgrid(np.arange(23), np.arange(23))
+        vza = np.clip((ang_base / 2.0 + ii * 0.3 + jj * 0.1) * 100 + 1, 1, 65535).astype(np.uint16)
+        vaa = np.clip(((ang_base * 3.0) % 360 + ii * 0.2) * 100 + 1, 1, 65535).astype(np.uint16)
+        ang_res = (p.w * p.res) / 23.0  # 23x23 plane spans the whole tile
+        band_imgs.append(("VZA", vza, "raw", ang_res, 0.01, -0.01))
+        band_imgs.append(("VAA", vaa, "raw", ang_res, 0.01, -0.01))
+        for band, img, fmt, res, a_scale, a_offset in band_imgs:
             image_id = f"{item_id}:{band}"
             images.append(
                 dict(
                     image_id=image_id,
                     bytes=codecs.encode(img, fmt),
-                    w=np.int32(p.w),
-                    h=np.int32(p.h),
+                    w=np.int32(img.shape[1]),
+                    h=np.int32(img.shape[0]),
                     fmt=fmt,
                     caption=f"scene {item_id} band {band} day {d.isoformat()} tile {_tile_id(zone, tx, ty)}",
                     phash=np.int64(codecs.phash64(img)),
                 )
             )
-            assets.append(dict(item_id=item_id, band=band, image_id=image_id, fmt=fmt))
+            assets.append(
+                dict(
+                    item_id=item_id, band=band, image_id=image_id, fmt=fmt,
+                    res=float(res), scale=float(a_scale), offset=float(a_offset),
+                    nodata=NODATA,
+                )
+            )
 
     for day in range(p.days):
         for zone in ZONES:
@@ -282,7 +307,16 @@ def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
         ]
     )
     assets_schema = pa.schema(
-        [("item_id", pa.string()), ("band", pa.string()), ("image_id", pa.string()), ("fmt", pa.string())]
+        [
+            ("item_id", pa.string()),
+            ("band", pa.string()),
+            ("image_id", pa.string()),
+            ("fmt", pa.string()),
+            ("res", pa.float64()),  # per-asset pixel size (B02@10m vs VZA@5km)
+            ("scale", pa.float64()),
+            ("offset", pa.float64()),
+            ("nodata", pa.float64()),
+        ]
     )
     pq.write_table(pa.Table.from_pylist(scenes, schema=scenes_schema), os.path.join(out_dir, "scenes.parquet"))
     # small row groups keep the pixel table SPLITTABLE: a single row group
