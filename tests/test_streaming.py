@@ -130,6 +130,29 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     assert ge == be
 
 
+def test_reprocessing_detector_stateful(spark, stream_world, tmp_path):
+    """applyInPandasWithState: a scene with a NEWER proc_version than the
+    tile's state emits a supersession record; same-version scenes don't."""
+    root, scenes_dir, first, rest = stream_world
+    pq.write_table(first, os.path.join(str(scenes_dir), "drop-0.parquet"))
+    pq.write_table(rest, os.path.join(str(scenes_dir), "drop-1.parquet"))
+    stream = ingest.stream_scenes(spark, str(scenes_dir))
+    det = ingest.reprocessing_detector(stream)
+    q = (
+        det.writeStream.outputMode("append")
+        .format("memory").queryName("reproc")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from reproc").collect()
+    # the synthetic world plants 05.11 reprocessings over 05.00 baselines
+    assert rows
+    assert all(r.new_version > r.old_version for r in rows)
+    assert all(r.new_version == "05.11" and r.old_version == "05.00" for r in rows)
+
+
 def test_scene_arrival_stats_stream(spark, stream_world, tmp_path):
     root, scenes_dir, first, rest = stream_world
     pq.write_table(first, os.path.join(str(scenes_dir), "drop-0.parquet"))

@@ -105,6 +105,48 @@ def session_stats_stream(
     )
 
 
+REPROC_SCHEMA = "tile_id string, item_id string, old_version string, new_version string"
+REPROC_STATE = "max_version string"
+
+
+def reprocessing_detector(scene_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per tile, keep the
+    max processing version seen so far; EMIT a record whenever a new scene
+    SUPERSEDES it — the streaming trigger for cube-partition invalidation
+    (the incremental analogue of the J2 latest-version dedup, which batch
+    mode resolves with a window).
+
+    State: one string per tile_id — O(#tiles), bounded and tiny even at
+    planetary scale (~10^5 tiles)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        tile_id = key[0]
+        max_v = state.get[0] if state.exists else None
+        out_rows = []
+        for pdf in pdfs:
+            for r in pdf.sort_values(["proc_version", "item_id"]).itertuples(index=False):
+                if max_v is not None and r.proc_version > max_v:
+                    out_rows.append((tile_id, r.item_id, max_v, r.proc_version))
+                if max_v is None or r.proc_version > max_v:
+                    max_v = r.proc_version
+        state.update((max_v,))
+        import pandas as pd_
+
+        yield pd_.DataFrame(
+            out_rows, columns=["tile_id", "item_id", "old_version", "new_version"]
+        )
+
+    return (
+        scene_stream.select("tile_id", "item_id", "proc_version")
+        .groupBy("tile_id")
+        .applyInPandasWithState(
+            update, REPROC_SCHEMA, REPROC_STATE, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_incremental_cube(
     spark: SparkSession,
     watch_dir: str,
