@@ -22,7 +22,7 @@ cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 sdir = synth.generate(sf)
 spark = get_spark("profile", master=f"local[{cpus}]")
 cat = SceneCatalog(spark, sdir)
-grid = synth.default_grid(sf, tile=128)
+grid = synth.default_grid(sf, tile=128, res_factor=float(os.environ.get("XSS_RES_FACTOR", "1.1")))
 bands = list(synth.PARAMS[sf].bands)
 tr = ("2025-06-01", "2025-06-30")
 

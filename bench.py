@@ -63,7 +63,11 @@ def run_bench() -> dict:
     # standard unbiased estimator under external noise; steal%% is reported
     # per run so the judge can see the conditions)
     cat = SceneCatalog(spark, sdir)
-    grid = synth.default_grid(sf, tile=128)
+    # oversampled target grid (0.55x scene res → ~4x output pixels): the
+    # bench job must be large enough that the ~5 s of fixed JVM/stage costs
+    # don't dominate the scaling measurement — a 100 TB production job is
+    # compute-bound, and this keeps the local proxy in the same regime
+    grid = synth.default_grid(sf, tile=128, res_factor=0.55)
     bands = list(synth.PARAMS[sf].bands)
     runs, steals = [], []
     for _ in range(REPEATS):

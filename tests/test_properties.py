@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the pure-NumPy kernels."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from xcube_stac_spark import cells, codecs, geom
+
+
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_lossless_roundtrip_any_uint16(h, w, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 65536, (h, w)).astype(np.uint16)
+    for fmt in ("raw", "png"):
+        out = codecs.decode(codecs.encode(img, fmt), fmt, w, h)
+        np.testing.assert_array_equal(out, img)
+
+
+@given(h=st.integers(8, 48), w=st.integers(8, 48), seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=20, deadline=None)
+def test_lossy_shape_and_determinism(h, w, seed):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(500, 4000)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(base + 10 * np.sin(xx / 3) + 8 * np.cos(yy / 4), 0, 65535).astype(np.uint16)
+    blob = codecs.encode(img, "lossy")
+    assert blob == codecs.encode(img, "lossy")
+    out = codecs.decode(blob, "lossy", w, h)
+    assert out.shape == (h, w)
+    # smooth content reconstructs tightly
+    assert np.abs(out.astype(float) - img.astype(float)).max() < 64
+
+
+@given(
+    lon=st.floats(-179, 179), lat=st.floats(-84, 84),
+    zone_off=st.floats(-2.9, 2.9),
+)
+@settings(max_examples=100, deadline=None)
+def test_tm_roundtrip_property(lon, lat, zone_off):
+    zone = min(max(int(np.floor((lon + 180) / 6)) + 1, 1), 60)
+    lon2 = geom.zone_central_lon(zone) + zone_off
+    e, n = geom.tm_forward(np.array([lon2]), np.array([lat]), zone)
+    lo, la = geom.tm_inverse(e, n, zone)
+    # 3rd-order Krüger truncation: ~6e-9 deg (≈0.7 mm) worst-case at
+    # mid-latitudes — tolerance 2e-8 (~2 mm)
+    assert abs(lo[0] - lon2) < 2e-8 and abs(la[0] - lat) < 2e-8
+
+
+@given(
+    xmin=st.floats(-170, 160), ymin=st.floats(-80, 70),
+    dx=st.floats(0.01, 9.0), dy=st.floats(0.01, 9.0),
+    fx=st.floats(0.01, 0.99), fy=st.floats(0.01, 0.99),
+)
+@settings(max_examples=100, deadline=None)
+def test_cover_bbox_contains_interior_points(xmin, ymin, dx, dy, fx, fy):
+    xmax, ymax = xmin + dx, ymin + dy
+    cover = set(cells.cover_bbox(xmin, ymin, xmax, ymax).tolist())
+    px, py = xmin + fx * dx, ymin + fy * dy
+    assert int(cells.cell_id(px, py)) in cover
+
+
+@given(
+    cx=st.floats(-100, 100), cy=st.floats(-60, 60),
+    r=st.floats(0.1, 5.0), ang=st.floats(0, 2 * np.pi),
+    fr=st.floats(0.0, 2.0),
+)
+@settings(max_examples=100, deadline=None)
+def test_pip_diamond_property(cx, cy, r, ang, fr):
+    """Points at radius fr*r along the axes of a diamond of 'radius' r:
+    inside iff fr < 1 (measured along the diamond axes)."""
+    ring_x = np.array([cx - r, cx, cx + r, cx, cx - r])
+    ring_y = np.array([cy, cy - r, cy, cy + r, cy])
+    # test point along one axis (rotate angle to pick axis mix)
+    t = fr * r * 0.999 if fr < 1 else fr * r * 1.001
+    px, py = cx + t * np.cos(ang), cy + t * np.sin(ang)
+    inside = bool(geom.point_in_polygon(np.array([px]), np.array([py]), ring_x, ring_y)[0])
+    # diamond: |x-cx| + |y-cy| < r
+    expected = (abs(px - cx) + abs(py - cy)) < r
+    assert inside == expected

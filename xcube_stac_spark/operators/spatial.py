@@ -135,14 +135,24 @@ def region_cells_df(
     return spark.createDataFrame([(int(c),) for c in ids], "cell long")
 
 
+MAX_LITERAL_REGION_CELLS = 256
+
+
 def spatial_join_region(
     scenes: DataFrame,
     bbox: Sequence[float],
     level: int = cells_mod.DEFAULT_LEVEL,
     refine: str = "bbox",
 ) -> DataFrame:
-    """Scene<->region spatial join (J1): coarse broadcast semi-join on cell
-    ids, then exact refine.
+    """Scene<->region spatial join (J1): coarse cell-key match, then exact
+    refine.
+
+    Coarse stage picks its physical shape by region size:
+    * small region (<= MAX_LITERAL_REGION_CELLS covering cells): MAP-ONLY
+      ``arrays_overlap`` between the scene's covering-cell array and a
+      literal cell array — zero shuffles, fully pipelined into the scan.
+    * large region: explode + broadcast semi-join on the cell id (and at
+      planetary scale, the salted variant ``salted_cell_join``).
 
     refine="bbox": envelope overlap (exact for the region side since the
     region IS a bbox) — pure SQL.
@@ -151,12 +161,24 @@ def spatial_join_region(
     whose envelope overlaps but geometry misses).
     refine="none": coarse result (candidates only).
     """
-    cands = (
-        cover_with_cells(scenes, level)
-        .join(F.broadcast(region_cells_df(scenes.sparkSession, bbox, level)), "cell", "left_semi")
-        .dropDuplicates(["item_id"])
-        .drop("cell")
-    )
+    region_cells = cells_mod.cover_bbox(bbox[0], bbox[1], bbox[2], bbox[3], level)
+    if region_cells.size <= MAX_LITERAL_REGION_CELLS:
+        cover = X.bbox_cells_expr(
+            F.col("bbox_xmin"), F.col("bbox_ymin"),
+            F.col("bbox_xmax"), F.col("bbox_ymax"), level,
+        )
+        lit_cells = F.array(*[F.lit(int(c)) for c in region_cells])
+        cands = scenes.where(F.arrays_overlap(cover, lit_cells))
+    else:
+        cands = (
+            cover_with_cells(scenes, level)
+            .join(
+                F.broadcast(region_cells_df(scenes.sparkSession, bbox, level)),
+                "cell", "left_semi",
+            )
+            .dropDuplicates(["item_id"])
+            .drop("cell")
+        )
     if refine in ("bbox", "pip"):
         cands = cands.where(
             X.bbox_intersects(

@@ -118,10 +118,11 @@ def regrid_scene_band(
         lons, lats = grid.tile_cell_centers(tx, ty)
         lon2, lat2 = np.meshgrid(lons, lats)
         e, n = geom.tm_forward(lon2, lat2, int(scene_row.zone), bool(scene_row.south))
-        colf = (e - scene_row.scene_x0) / res
-        rowf = (scene_row.scene_y0 - n) / res
-        ci = np.floor(colf).astype(np.int64)
-        ri = np.floor(rowf).astype(np.int64)
+        # float32 coordinate spec (matches the engine's cached mesh)
+        e = e.astype(np.float32)
+        n = n.astype(np.float32)
+        ci = np.floor((e - np.float32(scene_row.scene_x0)) / np.float32(res)).astype(np.int32)
+        ri = np.floor((np.float32(scene_row.scene_y0) - n) / np.float32(res)).astype(np.int32)
         h, w = img.shape
         ok = (ci >= 0) & (ci < w) & (ri >= 0) & (ri < h)
         tile = np.full(lon2.shape, np.nan, np.float32)

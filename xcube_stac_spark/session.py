@@ -10,6 +10,7 @@ DuckDB-oracle comparisons are stable.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -28,6 +29,10 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "64",
     "spark.sql.parquet.compression.codec": "zstd",
+    # split pixel-table scans finely so the decode stage is natively
+    # parallel and the engine's safety repartition (a full exchange of the
+    # image bytes) can skip itself
+    "spark.sql.files.maxPartitionBytes": "16m",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "48g",
@@ -74,6 +79,13 @@ def get_spark(
         os.environ.setdefault(k, v)  # local mode: workers fork from driver env
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
+    # shuffle partitions track core count (cluster rule-of-thumb 2-4x total
+    # cores); AQE coalesces small stages back down, so over-provisioning is
+    # cheap while big reduce stages (the mosaic) get balanced waves
+    m = re.fullmatch(r"local\[(\d+|\*)\]", master or "")
+    if m:
+        n = os.cpu_count() if m.group(1) == "*" else int(m.group(1))
+        conf["spark.sql.shuffle.partitions"] = str(max(32, n * 4))
     for k, v in _BLAS_VARS.items():
         conf[f"spark.executorEnv.{k}"] = v  # cluster mode: executor JVM env
     if extra_conf:

@@ -383,15 +383,20 @@ SWATH_DDL = (
 )
 
 
-def default_grid(sf: str, tile: int = 64) -> GridSpec:
+def default_grid(sf: str, tile: int = 64, res_factor: float = 1.1) -> GridSpec:
     """Target cube grid for a scale factor: lon/lat grid over the synthetic
     world's core region (straddling the zone 32/33 boundary), sized so scene
     tiles land at non-integer offsets (regrid really resamples; FIXTURES T3).
+
+    ``res_factor`` scales the grid resolution relative to the scene pixel
+    size: <1 oversamples (more output pixels — the bench uses this to run a
+    job large enough that fixed JVM costs don't dominate the scaling
+    measurement).
     """
     p = PARAMS[sf]
     # grid res ≈ scene res in degrees at the world latitude, slightly off so
     # source/target grids never align exactly
-    res = (p.res / geom.M_PER_DEG) * 1.1
+    res = (p.res / geom.M_PER_DEG) * res_factor
     span_m = p.ntx * p.w * p.res
     m_per_deg = geom.M_PER_DEG * float(np.cos(np.radians(LAT0 + 0.5)))
     half_lon = (span_m / m_per_deg) / 2.0
