@@ -118,11 +118,16 @@ def regrid_scene_band(
         lons, lats = grid.tile_cell_centers(tx, ty)
         lon2, lat2 = np.meshgrid(lons, lats)
         e, n = geom.tm_forward(lon2, lat2, int(scene_row.zone), bool(scene_row.south))
-        # float32 coordinate spec (matches the engine's cached mesh)
+        # float32 coordinate + residue/shift index spec (shared with the
+        # engine — see tiles.pixel_residue_shift / _tile_index_planes)
+        from xcube_stac_spark.operators.tiles import pixel_residue_shift
+
         e = e.astype(np.float32)
         n = n.astype(np.float32)
-        ci = np.floor((e - np.float32(scene_row.scene_x0)) / np.float32(res)).astype(np.int32)
-        ri = np.floor((np.float32(scene_row.scene_y0) - n) / np.float32(res)).astype(np.int32)
+        rx, sx = pixel_residue_shift(float(scene_row.scene_x0), float(res))
+        ry, sy = pixel_residue_shift(float(scene_row.scene_y0), float(res))
+        ci = np.floor((e - np.float32(rx)) / np.float32(res)).astype(np.int32) - sx
+        ri = np.floor((np.float32(ry) - n) / np.float32(res)).astype(np.int32) + sy
         h, w = img.shape
         ok = (ci >= 0) & (ci < w) & (ri >= 0) & (ri < h)
         tile = np.full(lon2.shape, np.nan, np.float32)
