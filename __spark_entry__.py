@@ -345,6 +345,30 @@ def _q_events_window(spark, sf_dir):
     return events_op.tumbling_window_agg(ev, minutes=60)
 
 
+def _q_caption_check(spark, sf_dir):
+    """North-rule per-row invariant: caption equality. Every image's caption
+    must equal the deterministic template reconstructed from its joined
+    scene/asset metadata — a full-corpus equality audit, pure SQL."""
+    cat = _cat(spark, sf_dir)
+    scn = spatial.with_solar_day(cat.scenes()).select(
+        "item_id", "tile_id",
+        F.date_format(F.col("nominal_datetime"), "yyyy-MM-dd").alias("day_str"),
+    )
+    j = (
+        cat.images().select("image_id", "caption")
+        .join(cat.assets().select("image_id", "item_id", "band"), "image_id")
+        .join(scn, "item_id")
+    )
+    expected = F.concat(
+        F.lit("scene "), F.col("item_id"), F.lit(" band "), F.col("band"),
+        F.lit(" day "), F.col("day_str"), F.lit(" tile "), F.col("tile_id"),
+    )
+    return j.select(
+        "image_id",
+        (F.col("caption") == expected).alias("caption_ok"),
+    )
+
+
 def _q_image_stats(spark, sf_dir):
     """Multimodal decode + stats + pHash verify over the image table —
     non-SQL-expressible (binary decode); NumPy-verified in
@@ -511,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_window": _q_events_window,
         "image_stats": _q_image_stats,
+        "caption_check": _q_caption_check,
         "angles_cube": _q_angles_cube,
         "mean_time_per_group": _q_mean_time_per_group,
         "band_pivot": _q_band_pivot,
@@ -621,6 +646,18 @@ SELECT collection, count(*) AS n_items,
        round(min(bbox_xmin), 6) AS xmin, round(min(bbox_ymin), 6) AS ymin,
        round(max(bbox_xmax), 6) AS xmax, round(max(bbox_ymax), 6) AS ymax
 FROM {_SCENES} GROUP BY collection
+"""
+    sqls["caption_check"] = f"""
+WITH s AS (
+  SELECT item_id, tile_id,
+    strftime(to_timestamp(epoch(coalesce(datetime, start_datetime + (end_datetime - start_datetime) / 2))), '%Y-%m-%d') AS day_str
+  FROM {_SCENES}
+)
+SELECT i.image_id,
+  (i.caption = 'scene ' || a.item_id || ' band ' || a.band || ' day ' || s.day_str || ' tile ' || s.tile_id) AS caption_ok
+FROM read_parquet('{SYNTH_SF001}/images.parquet') i
+JOIN read_parquet('{SYNTH_SF001}/assets.parquet') a ON a.image_id = i.image_id
+JOIN s ON s.item_id = a.item_id
 """
     sqls["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,

@@ -91,6 +91,42 @@ def test_frame_sample_shape(spark):
     assert len(rows) == 4 * n
 
 
+def test_lossy_rows_psnr_above_40db_vs_source():
+    """North-rule lossy acceptance: decoded lossy pixels vs the ORIGINAL
+    (regenerated deterministically) at PSNR >= 40 dB, per row."""
+    import pyarrow.parquet as pq2
+
+    from xcube_stac_spark import synth as synth_mod
+
+    sdir = synth_mod.generate("sf0.01")
+    p = synth_mod.PARAMS["sf0.01"]
+    imgs = pq2.read_table(f"{sdir}/images.parquet").to_pandas()
+    lossy = imgs[imgs.fmt == "lossy"]
+    checked = 0
+    for r in lossy.head(40).itertuples(index=False):
+        item_id, band = r.image_id.split(":")
+        # parse the deterministic id: S2{A|B}_T{zone}{tx}{ty}_{date}_{proc}
+        parts = item_id.split("_")
+        zti = parts[1]
+        zone, tx, ty = int(zti[1:3]), int(zti[3]), int(zti[4])
+        import datetime as dt
+
+        day = (dt.date.fromisoformat(
+            f"{parts[2][:4]}-{parts[2][4:6]}-{parts[2][6:]}") - synth_mod.BASE_DATE).days
+        if band.startswith("V"):
+            continue  # angle planes are raw
+        bi = p.bands.index(band)
+        second = item_id.startswith("S2B")
+        src = synth_mod.scene_pixels(zone, tx, ty, bi, day, p, second)
+        dec = codecs.decode(bytes(r.bytes), "lossy", r.w, r.h)
+        val = src[src != 0]
+        pk = float(val.max()) if val.size else 65535.0
+        ps = codecs.psnr(src, dec, peak=pk)
+        assert ps >= 40.0, (r.image_id, ps)
+        checked += 1
+    assert checked >= 30
+
+
 def test_stubbed_formats_raise(spark):
     df = spark.createDataFrame(
         [("x", b"notjpeg", 4, 4, "jpeg", 0)],
