@@ -197,6 +197,46 @@ def _tile_pixel_indices(
     return col0 - sx, row0 + sy
 
 
+def _bilinear_sample(
+    img: np.ndarray, e: np.ndarray, n: np.ndarray,
+    scene_x0: float, scene_y0: float, res: float, nodata: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bilinear resampling variant (the reference's resample_in_space
+    supports interpolation; NN remains the flagship default because the
+    take-first mosaic wants radiometrically untouched DNs). Returns
+    (float32 values, valid mask); any nodata corner invalidates a pixel."""
+    cf = (e - np.float32(scene_x0)) / np.float32(res) - np.float32(0.5)
+    rf = (np.float32(scene_y0) - n) / np.float32(res) - np.float32(0.5)
+    c0 = np.floor(cf).astype(np.int32)
+    r0 = np.floor(rf).astype(np.int32)
+    h, w = img.shape
+    inside = (c0 >= 0) & (c0 + 1 < w) & (r0 >= 0) & (r0 + 1 < h)
+    out = np.full(e.shape, np.nan, np.float32)
+    if inside.any():
+        c0i, r0i = c0[inside], r0[inside]
+        fx = (cf[inside] - c0i).astype(np.float32)
+        fy = (rf[inside] - r0i).astype(np.float32)
+        q00 = img[r0i, c0i].astype(np.float32)
+        q01 = img[r0i, c0i + 1].astype(np.float32)
+        q10 = img[r0i + 1, c0i].astype(np.float32)
+        q11 = img[r0i + 1, c0i + 1].astype(np.float32)
+        w00 = (1 - fx) * (1 - fy)
+        w01 = fx * (1 - fy)
+        w10 = (1 - fx) * fy
+        w11 = fx * fy
+        val = q00 * w00 + q01 * w01 + q10 * w10 + q11 * w11
+        # a nodata corner only invalidates where it actually contributes
+        bad = (
+            ((q00 == nodata) & (w00 > 0))
+            | ((q01 == nodata) & (w01 > 0))
+            | ((q10 == nodata) & (w10 > 0))
+            | ((q11 == nodata) & (w11 > 0))
+        )
+        val[bad] = np.nan
+        out[inside] = val
+    return out, np.isfinite(out)
+
+
 def _regrid_one(
     img: np.ndarray,
     grid: GridSpec,
