@@ -345,6 +345,27 @@ def _q_events_window(spark, sf_dir):
     return events_op.tumbling_window_agg(ev, minutes=60)
 
 
+def _q_time_spine(spark, sf_dir):
+    """U2 time reindex-with-fill over metadata: full day-spine x tile grid
+    left-joined against per-(day, tile) scene counts; missing combinations
+    surface as zeros (the SQL-checkable face of tiles.time_spine)."""
+    scn = spatial.with_solar_day(_searched(spark, sf_dir))
+    days = spark.sql(
+        "select explode(sequence(to_date('2025-06-01'), to_date('2025-06-16'), interval 1 day)) as solar_day"
+    )
+    tiles_df = scn.select("tile_id").distinct()
+    counts = scn.groupBy("solar_day", "tile_id").agg(F.count("*").alias("n"))
+    spine = days.crossJoin(tiles_df)
+    return (
+        spine.join(counts, ["solar_day", "tile_id"], "left")
+        .select(
+            F.col("solar_day").cast("string").alias("solar_day"),
+            "tile_id",
+            F.coalesce("n", F.lit(0)).alias("n_items"),
+        )
+    )
+
+
 def _q_caption_check(spark, sf_dir):
     """North-rule per-row invariant: caption equality. Every image's caption
     must equal the deterministic template reconstructed from its joined
@@ -536,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         "image_stats": _q_image_stats,
         "caption_check": _q_caption_check,
+        "time_spine": _q_time_spine,
         "angles_cube": _q_angles_cube,
         "mean_time_per_group": _q_mean_time_per_group,
         "band_pivot": _q_band_pivot,
@@ -646,6 +668,17 @@ SELECT collection, count(*) AS n_items,
        round(min(bbox_xmin), 6) AS xmin, round(min(bbox_ymin), 6) AS ymin,
        round(max(bbox_xmax), 6) AS xmax, round(max(bbox_ymax), 6) AS ymax
 FROM {_SCENES} GROUP BY collection
+"""
+    sqls["time_spine"] = f"""
+WITH {_SEARCH_CTE.strip()}, {_SOLAR_CTE.strip()},
+days AS (
+  SELECT strftime(unnest(generate_series(DATE '2025-06-01', DATE '2025-06-16', INTERVAL 1 DAY)), '%Y-%m-%d') AS solar_day
+),
+tiles AS (SELECT DISTINCT tile_id FROM solar),
+counts AS (SELECT solar_day, tile_id, count(*) AS n FROM solar GROUP BY 1, 2)
+SELECT d.solar_day, t.tile_id, coalesce(c.n, 0) AS n_items
+FROM days d CROSS JOIN tiles t
+LEFT JOIN counts c ON c.solar_day = d.solar_day AND c.tile_id = t.tile_id
 """
     sqls["caption_check"] = f"""
 WITH s AS (

@@ -85,6 +85,8 @@ def run_bench() -> dict:
     for name in [
         "scene_search", "dedup_latest", "cell_cover", "spatial_join_region",
         "knn_tiles", "bbox_union", "lineage", "tpch_q1", "events_daily",
+        "exact_dedup", "minhash_near_dup", "ann_topk", "image_stats",
+        "events_sessionize",
     ]:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).count()
