@@ -733,7 +733,9 @@ n AS (
   FROM solar
 )
 SELECT solar_day, orbit_state,
-       sum(t_sec) // count(*) AS mean_epoch_sec,
+       -- cast: DuckDB's hugeint-sum // count surfaces as double; Spark's
+       -- integer div is bigint — the r01 hash mismatch was this type alone
+       cast(sum(t_sec) // count(*) AS bigint) AS mean_epoch_sec,
        count(*) AS n_items
 FROM n GROUP BY solar_day, orbit_state
 """

@@ -148,3 +148,16 @@ def test_collections_metadata(cat):
     assert len(rows) == 1
     r = rows[0]
     assert r.collection == "syn-l2a" and r.n_items > 0 and r.xmin < r.xmax
+
+
+def test_salted_cell_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    from xcube_stac_spark.operators import spatial as sp
+
+    big = spark.createDataFrame([(1, "a")], "cell int, x string")
+    small = spark.createDataFrame([(1,)], "cell int")
+    with _pytest.raises(ValueError, match="salted_cell_join supports"):
+        sp.salted_cell_join(big, small, how="full")
+    with _pytest.raises(ValueError, match="salted_cell_join supports"):
+        sp.salted_cell_join(big, small, how="right")

@@ -172,3 +172,36 @@ def test_scene_arrival_stats_stream(spark, stream_world, tmp_path):
     rows = spark.sql("select * from arrivals").collect()
     assert rows
     assert all(r.n_scenes >= 1 for r in rows)
+
+
+def test_recompute_time_range_covers_far_lon_solar_days(spark):
+    """A scene at lon 150° acquired 2025-06-01T20:00 UTC has solar day
+    2025-06-02 (offset +10 h). A naive UTC window equal to the dirty solar
+    day would MISS it; the widened recompute_time_range catches it."""
+    import datetime as dt
+
+    from xcube_stac_spark.operators import spatial
+
+    row = {
+        "item_id": "FAR_LON", "collection": "c",
+        "datetime": dt.datetime(2025, 6, 1, 20, 0, tzinfo=dt.timezone.utc),
+        "start_datetime": None, "end_datetime": None,
+        "bbox_xmin": 149.5, "bbox_ymin": 10.0, "bbox_xmax": 150.5, "bbox_ymax": 11.0,
+        "footprint": [], "tile_id": "T1", "zone": 56, "proj_code": "EPSG:32656",
+        "proc_version": "05.00", "orbit_state": "descending",
+        "scene_x0": 0.0, "scene_y0": 0.0, "scene_res": 10.0,
+        "nodata": 0.0, "scale": 1.0, "offset": 0.0,
+    }
+    df = spark.createDataFrame([row], ingest.SCENES_DDL)
+    solar = spatial.with_solar_day(df).select("solar_day").first()[0]
+    assert str(solar) == "2025-06-02"
+    dirty = [solar]
+
+    naive = (f"{min(dirty)} 00:00:00", f"{max(dirty)} 23:59:59")
+    assert spatial.search_scenes(df, time_range=naive).count() == 0  # the bug
+    widened = ingest.recompute_time_range(dirty)
+    found = spatial.search_scenes(df, time_range=widened)
+    assert found.count() == 1
+    # and the output restriction still limits to the dirty partition
+    assert spatial.with_solar_day(found).where(
+        F.col("solar_day").isin(dirty)).count() == 1

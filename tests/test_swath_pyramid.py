@@ -153,3 +153,18 @@ def test_pivot_bands(spark, sf0001_dir):
     cat = SceneCatalog(spark, sf0001_dir)
     wide = tiles_op.pivot_bands(cat.assets(), ["B02", "B03"], "fmt", ["item_id"]).collect()
     assert all(r.B02_fmt is not None and r.B03_fmt is not None for r in wide)
+
+
+def test_build_pyramid_rejects_odd_tile_sizes(spark):
+    import pytest as _pytest
+
+    from xcube_stac_spark.gridspec import GridSpec
+    from xcube_stac_spark.operators import pyramid as pyr_op
+
+    grid = GridSpec("EPSG:4326", x0=0.0, y0=1.0, res=0.01, width=99, height=99,
+                    tile_w=33, tile_h=33)
+    cube = spark.createDataFrame(
+        [], "solar_day date, band string, tile_y int, tile_x int, data binary, valid_frac double"
+    )
+    with _pytest.raises(ValueError, match="even tile sizes"):
+        pyr_op.build_pyramid(cube, grid, levels=1)

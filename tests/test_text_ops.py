@@ -65,3 +65,39 @@ def test_fingerprint_invariant_to_punct(spark):
     fps = {r.doc_id: r.fingerprint for r in text_op.fingerprint(df).collect()}
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
+
+
+def test_ngram_jaccard_hot_gram_bound_and_log(spark, caplog):
+    """A shingle shared by many docs is dropped by the df bound (keeping the
+    candidate join linear) and the drop is LOGGED, not silent."""
+    import logging
+
+    hot = "the quick brown fox jumps again"  # every doc shares these grams
+    rows = [(i, f"{hot} unique{i} filler{i} tail{i} end{i}") for i in range(10)]
+    # plus one true near-dup pair that shares RARE grams only
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta"),
+        (101, "alpha beta gamma delta epsilon zeta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with caplog.at_level(logging.WARNING, logger="xcube_stac_spark.operators.text"):
+        bounded = text_op.ngram_jaccard_pairs(
+            df, threshold=0.1, max_gram_freq=4, log_dropped=True
+        ).collect()
+    assert any("hot gram" in r.message for r in caplog.records)
+    found = {(r.doc_a, r.doc_b) for r in bounded}
+    # the rare-gram pair survives; no pair is formed through the hot grams
+    assert (100, 101) in found
+    assert all(a == 100 for a, b in found), found
+    # unbounded variant DOES pair every hot-gram doc combination (10C2 + 1)
+    unbounded = text_op.ngram_jaccard_pairs(df, threshold=0.1, max_gram_freq=None)
+    assert unbounded.count() == 45 + 1
+
+
+def test_ngram_jaccard_default_bound_is_set():
+    import inspect
+
+    sig = inspect.signature(text_op.ngram_jaccard_pairs)
+    assert sig.parameters["max_gram_freq"].default == text_op.DEFAULT_MAX_GRAM_FREQ
+    assert text_op.DEFAULT_MAX_GRAM_FREQ is not None

@@ -299,6 +299,16 @@ class TpsUV:
 
     With 4 control points the linear system is 7x7 per output — solved once
     per scene with ``np.linalg.solve``; evaluation is vectorized.
+
+    ORIENTATION (deliberate deviation from the reference): this engine maps
+    ul→(0,0), ur→(1,0), lr→(1,1), ll→(0,1) — v grows DOWN the swath in scene
+    row order, so swath row index = v * (n_rows - 1) directly. The reference
+    build_footprint_uv_mapping (utils.py:788-806) instead anchors v=0 at the
+    along-track END corner (descending: ll→(0,0), ul→(0,1)), i.e. its v axis
+    is flipped relative to ours: v_ref = 1 - v_engine. Any row-range consumer
+    ported from reference conventions must apply that flip; in-repo consumers
+    (operators/swath.uv_clip_scenes row pruning) use the engine convention
+    consistently.
     """
 
     UV = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])  # ul,ur,lr,ll

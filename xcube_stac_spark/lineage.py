@@ -89,15 +89,27 @@ def write_cube(
     attrs: dict | None = None,
     resume: bool = True,
 ) -> dict:
-    """Write cube tiles partitioned by (solar_day, tile_y, tile_x) with a
-    commit-log entry per partition. Returns run metrics.
+    """Write cube tiles partitioned by (solar_day, tile_y, tile_x); after a
+    successful write, the commit log gains one JSON line PER PARTITION with
+    its metrics/lineage. Returns run metrics.
 
-    Implementation: one pass computes per-partition metrics (rows, bytes,
-    scenes, lineage) via groupBy — the same shuffle partitioning the write
-    uses — then the data lands via partitioned parquet append, then the
-    commit log records the completed set. Crash between data-write and
-    log-write ⇒ the partition is recomputed and overwritten idempotently
-    (dynamic partition overwrite), never duplicated.
+    Resume contract: commit granularity is the WRITE CALL (all partitions of
+    a successful call are logged atomically at its end); resume granularity
+    is the partition — a restarted job anti-joins the log and recomputes only
+    partitions no completed call has covered. Crash between data-write and
+    log-write ⇒ those partitions are recomputed and overwritten idempotently
+    (dynamic partition overwrite), never duplicated. Callers needing
+    finer-grained checkpoints split the input into several write_cube calls
+    (e.g. one per solar_day — the streaming path does exactly this per
+    micro-batch).
+
+    The cube plan is persisted (memory-and-disk) across the metrics pass and
+    the data write so the expensive decode/regrid/mosaic pipeline executes
+    ONCE, not twice.
+
+    At planetary partition counts (>>10^5) the driver-side collect of the
+    metrics rows is the scaling limit: write the metrics aggregation as a
+    parquet table next to the cube instead and fold it into the log.
     """
     spark = cube.sparkSession
     os.makedirs(_log_dir(path), exist_ok=True)
@@ -105,25 +117,29 @@ def write_cube(
         write_meta(path, attrs)
     t0 = time.perf_counter()
     todo = pending_partitions(cube, path) if resume else cube
-    # per-partition metrics + lineage (A8) in one aggregation
-    agg_cols = [
-        F.count("*").alias("n_rows"),
-        F.sum(F.octet_length("data")).alias("bytes"),
-        F.sum("n_scenes").alias("n_scene_tiles"),
-        F.array_join(F.array_sort(F.collect_set("item_ids")), ";").alias("lineage"),
-    ]
-    metrics_rows = todo.groupBy(*PART_COLS).agg(*agg_cols).collect()
-    if not metrics_rows:
-        return {"written_partitions": 0, "elapsed_sec": 0.0, "resumed": True}
+    todo = todo.persist()
+    try:
+        # per-partition metrics + lineage (A8) in one aggregation
+        agg_cols = [
+            F.count("*").alias("n_rows"),
+            F.sum(F.octet_length("data")).alias("bytes"),
+            F.sum("n_scenes").alias("n_scene_tiles"),
+            F.array_join(F.array_sort(F.collect_set("item_ids")), ";").alias("lineage"),
+        ]
+        metrics_rows = todo.groupBy(*PART_COLS).agg(*agg_cols).collect()
+        if not metrics_rows:
+            return {"written_partitions": 0, "elapsed_sec": 0.0, "resumed": True}
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        todo.withColumn("solar_day", F.col("solar_day").cast("string"))
-        .repartition(*PART_COLS)
-        .write.mode("overwrite")
-        .partitionBy(*PART_COLS)
-        .parquet(path)
-    )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            todo.withColumn("solar_day", F.col("solar_day").cast("string"))
+            .repartition(*PART_COLS)
+            .write.mode("overwrite")
+            .partitionBy(*PART_COLS)
+            .parquet(path)
+        )
+    finally:
+        todo.unpersist()
     elapsed = time.perf_counter() - t0
     log_file = os.path.join(_log_dir(path), f"commit-{uuid.uuid4().hex[:12]}.jsonl")
     with open(log_file, "w") as f:

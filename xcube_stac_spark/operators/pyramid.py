@@ -97,7 +97,17 @@ def next_level(cube: DataFrame, child_grid: GridSpec) -> DataFrame:
 def build_pyramid(cube: DataFrame, grid: GridSpec, levels: int) -> DataFrame:
     """Stack levels 0..levels into one DataFrame with a ``level`` column —
     the whole pyramid remains a single queryable table (level pruning =
-    partition pruning on write)."""
+    partition pruning on write).
+
+    Tile sizes must be even: next_level places child quadrants at
+    (tile % 2) * (tile_size // 2), which misaligns for odd sizes (the halved
+    canvas has ceil(size/2) rows)."""
+    if grid.tile_w % 2 or grid.tile_h % 2:
+        raise ValueError(
+            f"build_pyramid requires even tile sizes, got "
+            f"{grid.tile_w}x{grid.tile_h} (quadrant offsets assume "
+            f"tile_size/2 is integral)"
+        )
     out = cube.select(
         "solar_day", "band", "tile_y", "tile_x", "data", "valid_frac"
     ).withColumn("level", F.lit(0))

@@ -260,7 +260,16 @@ def salted_cell_join(
     variant exists for (a) broadcast-ineligible small sides, (b) engines/
     configs without AQE, and (c) deterministic task sizing at the 10^12-row
     scale where the planner's stats go stale. Salt=8 multiplies the small
-    side 8x — use only when the small side is genuinely small."""
+    side 8x — use only when the small side is genuinely small.
+
+    Only inner/left/left_semi joins are supported: the salt-explode
+    replicates every small-side row ``salt`` times, so right/full outer
+    would emit each UNMATCHED small-side row once per salt value."""
+    if how not in ("inner", "left", "left_outer", "left_semi"):
+        raise ValueError(
+            f"salted_cell_join supports inner/left/left_semi, not {how!r} "
+            "(salt-explode breaks right/full outer semantics)"
+        )
     big_s = big.withColumn(
         "__salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt))
     )

@@ -17,6 +17,8 @@ covers hot shingles; the ``max_gram_freq`` filter bounds them analytically.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -173,26 +175,51 @@ def minhash_near_dups(
     )
 
 
+#: default document-frequency bound for ngram_jaccard_pairs: a gram shared by
+#: k docs emits k(k-1)/2 candidate pairs, so one hot shingle ("click here to")
+#: in 10^6 docs would alone produce 5*10^11 pairs — the bound caps per-gram
+#: fan-out at DEFAULT_MAX_GRAM_FREQ², keeping the self-join O(docs · grams).
+DEFAULT_MAX_GRAM_FREQ = 64
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, ngram: int = 3, threshold: float = 0.5, max_gram_freq: int | None = None
+    docs: DataFrame,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    max_gram_freq: int | None = DEFAULT_MAX_GRAM_FREQ,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing at least one (rare) gram.
 
-    ``max_gram_freq`` drops grams appearing in more than that many docs
-    before pairing — the standard hot-key bound that keeps the self-join
-    linear-ish at corpus scale (logged, not silent)."""
+    ``max_gram_freq`` (default ``DEFAULT_MAX_GRAM_FREQ``) drops grams whose
+    document frequency exceeds the bound before pairing — the standard
+    hot-key cap that keeps the self-join linear-ish at corpus scale. Pass
+    ``None`` to disable (exact but quadratic in the hottest gram's df).
+
+    ``log_dropped=True`` eagerly counts the dropped grams and emits a
+    WARNING log line (costs one extra aggregation job — off by default so
+    the builder stays lazy; production pipelines run it once per corpus).
+
+    NOTE: dropping hot grams makes both n_common AND the implied candidate
+    set ignore those grams; Jaccard is computed over the FULL gram sets
+    (sizes are taken before the filter), so reported similarity is a lower
+    bound for pairs that shared a hot gram."""
     grams = docs.select(
         "doc_id",
         F.explode(F.array_distinct(word_ngrams(F.col("text"), ngram))).alias("gram"),
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     if max_gram_freq is not None:
-        rare = (
-            grams.groupBy("gram")
-            .agg(F.countDistinct("doc_id").alias("df"))
-            .where(F.col("df") <= max_gram_freq)
-            .select("gram")
-        )
+        freq = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("df"))
+        if log_dropped:
+            n_hot = freq.where(F.col("df") > max_gram_freq).count()
+            if n_hot:
+                logging.getLogger(__name__).warning(
+                    "ngram_jaccard_pairs: dropping %d hot gram(s) with "
+                    "document frequency > %d before pairing",
+                    n_hot, max_gram_freq,
+                )
+        rare = freq.where(F.col("df") <= max_gram_freq).select("gram")
         grams = grams.join(rare, "gram")
     g1 = grams.alias("g1")
     g2 = grams.alias("g2")

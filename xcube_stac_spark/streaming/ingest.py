@@ -25,6 +25,7 @@ take-first order stays globally deterministic regardless of arrival order.
 
 from __future__ import annotations
 
+import datetime as dt
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -147,6 +148,17 @@ def reprocessing_detector(scene_stream: DataFrame) -> DataFrame:
     )
 
 
+def recompute_time_range(dirty_days: Sequence) -> tuple[str, str]:
+    """UTC datetime range guaranteed to contain every scene whose SOLAR day
+    is in ``dirty_days``: solar_day = UTC + int(lon/15) h, so a scene's UTC
+    date differs from its solar day by at most one calendar day (offset
+    bounded by ±12 h) — widen the min/max by ±1 day."""
+    return (
+        f"{min(dirty_days) - dt.timedelta(days=1)} 00:00:00",
+        f"{max(dirty_days) + dt.timedelta(days=1)} 23:59:59",
+    )
+
+
 def run_incremental_cube(
     spark: SparkSession,
     watch_dir: str,
@@ -175,11 +187,14 @@ def run_incremental_cube(
         if not dirty_days:
             return
         # recompute all partitions of the dirty solar days from the full
-        # catalog so late arrivals merge deterministically with older scenes
+        # catalog so late arrivals merge deterministically with older scenes.
+        # The catalog filter is a UTC datetime range but solar_day is
+        # UTC + int(lon/15)h: a scene at |lon| >= 15° acquired near UTC
+        # midnight lands on an adjacent UTC date, so the range is widened by
+        # ±1 day (solar offset is bounded by ±12 h) — the where() below
+        # still restricts the OUTPUT to exactly the dirty partitions
         cube = cube_plan.build_cube(
-            cat, grid,
-            time_range=(f"{min(dirty_days)} 00:00:00", f"{max(dirty_days)} 23:59:59"),
-            bands=bands,
+            cat, grid, time_range=recompute_time_range(dirty_days), bands=bands,
         ).where(F.col("solar_day").isin(dirty_days))
         m = lineage.write_cube(cube, out_path, resume=False)
         if on_batch:
