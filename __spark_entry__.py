@@ -7,9 +7,11 @@ the deterministic synthetic scenes/images tables generated into
 ``/root/repo/synthdata/<sf>/`` (seed-fixed; regenerate with
 ``python -m xcube_stac_spark.synth``); their oracle SQL reads the same
 parquet via ``read_parquet`` absolute paths at sf0.01 (the driver's
-correctness scale). Non-SQL-expressible pixel ops (cube_build) are covered
-by the NumPy oracle in tests/test_cube_pipeline.py and get rows-only checks
-here.
+correctness scale). Pixel ops SQL can't express (cube_build, image_stats,
+angles_cube, uv_clip, orthorectify, rectify_swath, pyramid) are oracled via
+FIXTURE parquet computed by the independent NumPy implementations
+(xcube_stac_spark/fixtures.py) — the oracle SQL is a read_parquet of the
+golden answer, so every query is value-checked by the driver.
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xcube_stac_spark import cells
+from xcube_stac_spark import fixtures
 from xcube_stac_spark import functions as X
 from xcube_stac_spark import synth
 from xcube_stac_spark.operators import ann as ann_op
@@ -31,9 +34,10 @@ from xcube_stac_spark.operators import text as text_op
 from xcube_stac_spark.plans import cube as cube_plan
 from xcube_stac_spark.sources.catalog import SceneCatalog
 
-# fixed query parameters (shared by Spark queries and oracle SQL)
-TIME_RANGE = ("2025-06-02 00:00:00", "2025-06-20 23:59:59")
-REGION = (11.4, 49.3, 12.3, 50.0)
+# fixed query parameters (shared by Spark queries, oracle SQL and the pixel
+# fixtures — single source of truth in fixtures.py)
+TIME_RANGE = fixtures.TIME_RANGE
+REGION = fixtures.REGION
 KNN_POINT = (12.0, 49.5)
 KNN_K = 5
 LEVEL = cells.DEFAULT_LEVEL
@@ -150,16 +154,17 @@ def _q_collections_stats(spark, sf_dir):
 
 
 def _q_cube_build(spark, sf_dir):
-    """Flagship pixel pipeline — non-SQL-expressible (decode/regrid/mosaic
-    in Arrow UDFs); correctness is enforced bit-exactly against the NumPy
-    oracle in tests/test_cube_pipeline.py. Rows-only check here."""
+    """Flagship pixel pipeline — decode/regrid/mosaic in Arrow UDFs. The
+    DuckDB oracle reads a fixture parquet computed by the independent NumPy
+    implementation (fixtures.py / oracle.build_cube_numpy); pixel values are
+    additionally bit-exact-checked in tests/test_cube_pipeline.py."""
     sf = os.path.basename(os.path.normpath(sf_dir))
     if sf not in synth.PARAMS:
         sf = "sf0.01"
     cat = _cat(spark, sf_dir)
     grid = synth.default_grid(sf)
     cube = cube_plan.build_cube(
-        cat, grid, time_range=TIME_RANGE, bands=["B02", "B03"]
+        cat, grid, time_range=TIME_RANGE, bands=fixtures.CUBE_BANDS
     )
     return cube.select(
         F.col("solar_day").cast("string").alias("solar_day"),
@@ -308,10 +313,28 @@ def _q_fingerprint(spark, sf_dir):
 
 ANN_QUERY_IDS = (0, 1, 2)
 ANN_K = 10
+ANN_MASK_DIMS = 8  # planted near-dup = copy with first 8 dims zeroed
+ANN_NEAR_THRESHOLD = 0.9
 
 
 def _emb(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _aug_emb(spark, sf_dir):
+    """Embedding corpus augmented with planted near-duplicates: every 10th
+    vector gets a copy (vec_id+100000) whose first ANN_MASK_DIMS dims are
+    zeroed — cosine ≈ 0.8-0.99 vs its source (the embedding twin of the
+    text near-copies). Mirrored verbatim in the oracle SQL."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    masked = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(*[F.lit(0.0).cast("float")] * ANN_MASK_DIMS),
+            F.slice(F.col("embedding"), ANN_MASK_DIMS + 1, ann_op.EMB_DIM - ANN_MASK_DIMS),
+        ).alias("embedding"),
+    )
+    return e.unionByName(masked)
 
 
 def _ann_queries_df(spark, sf_dir):
@@ -332,7 +355,9 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
 
 def _q_ann_near_dup(spark, sf_dir):
-    return ann_op.near_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
+    return ann_op.near_dup_pairs(
+        _aug_emb(spark, sf_dir), threshold=ANN_NEAR_THRESHOLD
+    )
 
 
 def _q_events_sessionize(spark, sf_dir):
@@ -392,8 +417,8 @@ def _q_caption_check(spark, sf_dir):
 
 def _q_image_stats(spark, sf_dir):
     """Multimodal decode + stats + pHash verify over the image table —
-    non-SQL-expressible (binary decode); NumPy-verified in
-    tests/test_multimodal.py; rows-only check here."""
+    binary decode; oracle = fixture parquet from the single-process decode
+    in fixtures.py."""
     imgs = _cat(spark, sf_dir).images()
     return mm_op.image_stats(imgs).select(
         "image_id", "fmt",
@@ -405,14 +430,14 @@ def _q_image_stats(spark, sf_dir):
 def _q_angles_cube(spark, sf_dir):
     """C14/C15: viewing-angle planes (23x23 @ tile-span/23 ≈ 5 km) regrid
     through the SAME pipeline as spectral bands — per-asset resolution and
-    scaling. Rows-only here; NumPy-oracle parity in tests."""
+    scaling. Oracle = NumPy-oracle fixture parquet."""
     sf = os.path.basename(os.path.normpath(sf_dir))
     if sf not in synth.PARAMS:
         sf = "sf0.01"
     cat = _cat(spark, sf_dir)
     grid = synth.default_grid(sf)
     cube = cube_plan.build_cube(
-        cat, grid, time_range=("2025-06-01", "2025-06-03"), bands=["VZA", "VAA"]
+        cat, grid, time_range=fixtures.ANGLE_TIME_RANGE, bands=fixtures.ANGLE_BANDS
     )
     return cube.select(
         F.col("solar_day").cast("string").alias("solar_day"),
@@ -467,8 +492,8 @@ def _q_salted_spatial_join(spark, sf_dir):
 
 
 def _q_uv_clip(spark, sf_dir):
-    """J6/F12 TPS-UV swath clip — not SQL-expressible (thin-plate-spline
-    solve); NumPy-verified in tests/test_swath_pyramid.py."""
+    """J6/F12 TPS-UV swath clip (thin-plate-spline solve); oracle = fixture
+    parquet from the single-process TPS in fixtures.py."""
     from xcube_stac_spark.operators import swath as swath_op
 
     scenes = _searched(spark, sf_dir)
@@ -481,31 +506,37 @@ def _q_uv_clip(spark, sf_dir):
 
 
 def _q_orthorectify(spark, sf_dir):
-    """J11 parallax correction over synthetic swaths — rows-only (binary
-    geolocation planes); formula-verified in tests."""
+    """J11 parallax correction over synthetic swaths — corrected-plane means
+    checked against the fixture oracle; per-pixel formula-verified in
+    tests."""
     from xcube_stac_spark import synth as synth_mod
     from xcube_stac_spark.operators import swath as swath_op
 
     swaths = spark.createDataFrame(synth_mod.swath_rows(), synth_mod.SWATH_DDL)
-    return swath_op.orthorectify(swaths).select("item_id", "rows", "cols")
+    return swath_op.orthorectify(swaths).select(
+        "item_id", "rows", "cols",
+        F.round("lon_mean", 6).alias("lon_mean"),
+        F.round("lat_mean", 6).alias("lat_mean"),
+    )
 
 
 def _q_rectify_swath(spark, sf_dir):
-    """J12 curvilinear→regular rectification — rows-only; NumPy-verified."""
+    """J12 curvilinear→regular rectification — per-tile valid counts checked
+    against the fixture oracle; pixel values NumPy-verified in tests."""
     from xcube_stac_spark import synth as synth_mod
     from xcube_stac_spark.gridspec import GridSpec
     from xcube_stac_spark.operators import swath as swath_op
 
     swaths = spark.createDataFrame(synth_mod.swath_rows(), synth_mod.SWATH_DDL)
-    grid = GridSpec("EPSG:4326", x0=11.0, y0=50.5, res=0.02, width=80, height=70, tile_w=40, tile_h=35)
+    grid = GridSpec(**fixtures.RECTIFY_GRID)
     return swath_op.rectify_swath(swaths, grid).select(
         "item_id", "var", "tile_y", "tile_x", "valid"
     )
 
 
 def _q_pyramid(spark, sf_dir):
-    """MultiLevelDataset pyramid — per-level tile counts; rows-only
-    (nanmean parity NumPy-verified in tests)."""
+    """MultiLevelDataset pyramid — per-level tile counts + mean validity
+    checked against the canvas-based NumPy fixture oracle."""
     from xcube_stac_spark.operators import pyramid as pyr_op
 
     sf = os.path.basename(os.path.normpath(sf_dir))
@@ -514,9 +545,9 @@ def _q_pyramid(spark, sf_dir):
     cat = _cat(spark, sf_dir)
     grid = synth.default_grid(sf)
     cube = cube_plan.build_cube(
-        cat, grid, time_range=("2025-06-01", "2025-06-03"), bands=["B02"]
+        cat, grid, time_range=fixtures.PYR_TIME_RANGE, bands=fixtures.PYR_BANDS
     )
-    pyr = pyr_op.build_pyramid(cube, grid, levels=2)
+    pyr = pyr_op.build_pyramid(cube, grid, levels=fixtures.PYR_LEVELS)
     return pyr.groupBy("level").agg(
         F.count("*").alias("n_tiles"),
         F.round(F.avg("valid_frac"), 4).alias("avg_valid_frac"),
@@ -751,8 +782,13 @@ FROM read_parquet('{SYNTH_SF001}/assets.parquet') GROUP BY item_id
     sqls.update(_text_oracle_sql())
     sqls.update(_ann_oracle_sql())
     sqls.update(_events_oracle_sql())
-    # cube_build, image_stats: intentionally no SQL oracle (pixel pipelines;
-    # NumPy-oracle verified in tests/) → rows-only checks
+    # pixel pipelines (cube/angles/image-stats/swath/pyramid): the oracle is
+    # a parquet FIXTURE computed by the independent NumPy implementations in
+    # fixtures.py (oracle.build_cube_numpy etc.) — SQL can't express the
+    # decode/TPS/regrid/mosaic math, but DuckDB can read the golden answer
+    fx_dir = fixtures.ensure_fixtures("sf0.01")
+    for q in fixtures.FIXTURE_QUERIES:
+        sqls[q] = f"SELECT * FROM read_parquet('{fx_dir}/{q}.parquet')"
     return sqls
 
 
@@ -948,12 +984,39 @@ def _duck_cos(a: str, b: str) -> str:
     )
 
 
-def _duck_bucket(v: str) -> str:
+def _duck_band_key(v: str, band: int, bands: int, bits: int) -> str:
+    """bits-bit banded-LSH key of vector expr ``v`` — the EXACT mirror of
+    ann.hyperplane_bands (same md5-derived ±1 planes, same round-6-then-sign
+    bit test)."""
+    planes = ann_op.hyperplane_signs(bands, bits, ann_op.EMB_DIM)[band]
     terms = " + ".join(
-        f"(CASE WHEN {v}[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)"
-        for d in range(ann_op.SIGN_DIMS)
+        "(CASE WHEN round(list_dot_product({v}::DOUBLE[], [{p}]), 6) > 0 "
+        "THEN {w} ELSE 0 END)".format(
+            v=v, p=", ".join(str(s) for s in signs), w=1 << i
+        )
+        for i, signs in enumerate(planes)
     )
     return f"({terms})"
+
+
+def _duck_bands_cte(src: str, id_col: str, vec: str, bands: int, bits: int) -> str:
+    """UNION ALL of one key-select per band → (id, band, key) bucket table."""
+    return "\n  UNION ALL\n".join(
+        f"  SELECT {id_col}, {b} AS band, "
+        f"{_duck_band_key(vec, b, bands, bits)} AS key FROM {src}"
+        for b in range(bands)
+    )
+
+
+_DUCK_AUG_EMB = f"""
+aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_concat([{", ".join("0.0" for _ in range(ANN_MASK_DIMS))}]::FLOAT[],
+                     embedding[{ANN_MASK_DIMS + 1}:]) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+)"""
 
 
 def _ann_oracle_sql() -> dict[str, str]:
@@ -969,25 +1032,45 @@ s AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM s)
 SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= {ANN_K}
 """
+    tb, ti = ann_op.TOPK_BANDS, ann_op.TOPK_BITS
     out["ann_lsh_topk"] = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
-                  {_duck_bucket('embedding')} AS bucket
-           FROM embeddings WHERE vec_id IN ({ids})),
-e AS (SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket FROM embeddings),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN ({ids})),
+eb AS (
+{_duck_bands_cte('embeddings', 'vec_id', 'embedding', tb, ti)}
+),
+qb AS (
+{_duck_bands_cte('q', 'query_id', 'qvec', tb, ti)}
+),
+cand AS (
+  SELECT DISTINCT qb.query_id, eb.vec_id
+  FROM eb JOIN qb ON eb.band = qb.band AND eb.key = qb.key
+  WHERE eb.vec_id != qb.query_id
+),
 s AS (
-  SELECT q.query_id, e.vec_id,
+  SELECT c.query_id, c.vec_id,
          round({_duck_cos('e.embedding', 'q.qvec')}, 6) AS cos_sim
-  FROM e JOIN q ON e.bucket = q.bucket WHERE e.vec_id != q.query_id
+  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM s)
 SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= {ANN_K}
 """
+    nb, ni = ann_op.NEAR_BANDS, ann_op.NEAR_BITS
     out["ann_near_dup"] = f"""
-WITH e AS (SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({_duck_cos('a.embedding', 'b.embedding')}, 6) AS cos_sim
-FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round({_duck_cos('a.embedding', 'b.embedding')}, 6) >= 0.35
+WITH {_DUCK_AUG_EMB.strip()},
+bk AS (
+{_duck_bands_cte('aug', 'vec_id', 'embedding', nb, ni)}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round({_duck_cos('ea.embedding', 'eb.embedding')}, 6) AS cos_sim
+FROM cand c
+JOIN aug ea ON ea.vec_id = c.vec_a
+JOIN aug eb ON eb.vec_id = c.vec_b
+WHERE round({_duck_cos('ea.embedding', 'eb.embedding')}, 6) >= {ANN_NEAR_THRESHOLD}
 """
     return out
 

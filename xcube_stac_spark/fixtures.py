@@ -1,0 +1,403 @@
+"""DuckDB-readable oracle fixtures for the non-SQL-expressible pixel queries.
+
+The driver's correctness gate compares each ``queries()`` entry against a
+DuckDB oracle. SQL cannot express the pixel pipelines (decode / TPS / regrid
+/ mosaic / pyramid), so for those the oracle is a PARQUET FIXTURE computed by
+the independent NumPy implementations (``oracle.build_cube_numpy`` and the
+plain-NumPy swath/pyramid recomputations below) and the oracle SQL is a
+``read_parquet`` of the fixture — the same golden-fixture strategy as the
+reference test suite (mosaic golden matrices test/test_utils.py:585-662,
+cube-shape asserts test/test_store.py:843-937), but machine-checked by the
+driver every round instead of only by pytest.
+
+Determinism: fixtures are derived purely from the seed-fixed synthetic
+tables; every float is rounded with Java-BigDecimal HALF_UP semantics to
+mirror Spark's ``F.round`` exactly. ``FIXTURE_VERSION`` busts the cache when
+fixture definitions change.
+
+The query parameters shared by the Spark queries, the SQL oracles and the
+fixtures live HERE (single source of truth; ``__spark_entry__`` imports
+them).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import warnings
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from xcube_stac_spark import codecs, geom, oracle, synth
+from xcube_stac_spark.gridspec import GridSpec
+
+# ---------------------------------------------------------------------------
+# canonical query parameters (used by __spark_entry__ AND the fixtures)
+# ---------------------------------------------------------------------------
+
+TIME_RANGE = ("2025-06-02 00:00:00", "2025-06-20 23:59:59")
+REGION = (11.4, 49.3, 12.3, 50.0)
+CUBE_BANDS = ["B02", "B03"]
+ANGLE_TIME_RANGE = ("2025-06-01", "2025-06-03")
+ANGLE_BANDS = ["VZA", "VAA"]
+PYR_TIME_RANGE = ("2025-06-01", "2025-06-03")
+PYR_BANDS = ["B02"]
+PYR_LEVELS = 2
+
+FIXTURE_VERSION = 1
+
+#: queries whose oracle is a fixture parquet (name -> parquet file)
+FIXTURE_QUERIES = (
+    "cube_build",
+    "angles_cube",
+    "image_stats",
+    "uv_clip",
+    "orthorectify",
+    "rectify_swath",
+    "pyramid",
+)
+
+
+def round_half_up(x: float, digits: int) -> float:
+    """Exact mirror of Spark's ``F.round`` on doubles: Java
+    ``BigDecimal.valueOf(x)`` — i.e. the SHORTEST decimal representation of
+    the double (``repr`` in Python), not its exact binary expansion — rounded
+    HALF_UP at ``digits`` decimals, back to the nearest double. Python's
+    round()/np.round are half-EVEN — they differ on exact .5 digits
+    (e.g. 32/4096 = 0.0078125 → 0.007813 vs 0.007812); Decimal(x) (exact
+    binary) differs on shortest-repr halves (5e-07 → 1e-06 vs 0.0)."""
+    if x is None or not math.isfinite(x):
+        return x
+    q = Decimal(repr(x)).quantize(Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP)
+    return float(q)
+
+
+def _write(out_dir: str, name: str, rows: list[dict], schema: pa.Schema) -> None:
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        os.path.join(out_dir, f"{name}.parquet"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cube-shaped fixtures (flagship + angle planes) — from the NumPy oracle
+# ---------------------------------------------------------------------------
+
+_CUBE_SCHEMA = pa.schema(
+    [
+        ("solar_day", pa.string()),
+        ("band", pa.string()),
+        ("tile_y", pa.int32()),
+        ("tile_x", pa.int32()),
+        ("n_scenes", pa.int32()),
+        ("item_ids", pa.string()),
+        ("valid_frac", pa.float64()),
+    ]
+)
+
+
+def _cube_rows(sdir: str, grid: GridSpec, time_range, bands, with_lineage: bool):
+    ocube = oracle.build_cube_numpy(sdir, grid, time_range=time_range, bands=bands)
+    rows = []
+    for (day, band, ty, tx), tile in ocube.tiles.items():
+        r = {
+            "solar_day": day,
+            "band": band,
+            "tile_y": ty,
+            "tile_x": tx,
+            "n_scenes": len(ocube.lineage[(day, band, ty, tx)]),
+            "valid_frac": round_half_up(float(np.isfinite(tile).mean()), 6),
+        }
+        if with_lineage:
+            r["item_ids"] = ",".join(ocube.lineage[(day, band, ty, tx)])
+        rows.append(r)
+    return ocube, rows
+
+
+def _fx_cube_build(sdir: str, out_dir: str, grid: GridSpec) -> None:
+    _, rows = _cube_rows(sdir, grid, TIME_RANGE, CUBE_BANDS, with_lineage=True)
+    _write(out_dir, "cube_build", rows, _CUBE_SCHEMA)
+
+
+def _fx_angles_cube(sdir: str, out_dir: str, grid: GridSpec) -> None:
+    _, rows = _cube_rows(sdir, grid, ANGLE_TIME_RANGE, ANGLE_BANDS, with_lineage=False)
+    schema = pa.schema([f for f in _CUBE_SCHEMA if f.name != "item_ids"])
+    _write(out_dir, "angles_cube", rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# image stats — single-process decode of every image row
+# ---------------------------------------------------------------------------
+
+_STATS_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("fmt", pa.string()),
+        ("mean", pa.float64()),
+        ("std", pa.float64()),
+        ("phash_hamming", pa.int32()),
+    ]
+)
+
+
+def _fx_image_stats(sdir: str, out_dir: str) -> None:
+    images = pq.read_table(os.path.join(sdir, "images.parquet")).to_pandas()
+    rows = []
+    for r in images.itertuples(index=False):
+        img = codecs.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h)).astype(np.float64)
+        ph = codecs.phash64(img)
+        rows.append(
+            {
+                "image_id": r.image_id,
+                "fmt": r.fmt,
+                "mean": round_half_up(float(img.mean()), 3),
+                "std": round_half_up(float(img.std()), 3),
+                "phash_hamming": bin(ph ^ int(r.phash)).count("1"),
+            }
+        )
+    _write(out_dir, "image_stats", rows, _STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# UV clip — TPS relative bbox per searched scene
+# ---------------------------------------------------------------------------
+
+_UV_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.string()),
+        ("hit", pa.bool_()),
+        ("u0", pa.float64()),
+        ("v0", pa.float64()),
+        ("u1", pa.float64()),
+        ("v1", pa.float64()),
+    ]
+)
+
+
+def _fx_uv_clip(sdir: str, out_dir: str) -> None:
+    scenes = pq.read_table(os.path.join(sdir, "scenes.parquet")).to_pandas()
+    searched = oracle.search_scenes_pandas(scenes, time_range=TIME_RANGE)
+    rows = []
+    for r in searched.itertuples(index=False):
+        lons = np.array([p["lon"] for p in r.footprint])
+        lats = np.array([p["lat"] for p in r.footprint])
+        rel = geom.find_relative_bbox(
+            lons, lats, list(REGION), descending=(r.orbit_state == "descending")
+        )
+        if rel is None:
+            u0 = v0 = u1 = v1 = 0.0
+            hit = False
+        else:
+            u0, v0, u1, v1 = rel
+            hit = True
+        rows.append(
+            {
+                "item_id": r.item_id,
+                "hit": hit,
+                "u0": round_half_up(u0, 6),
+                "v0": round_half_up(v0, 6),
+                "u1": round_half_up(u1, 6),
+                "v1": round_half_up(v1, 6),
+            }
+        )
+    _write(out_dir, "uv_clip", rows, _UV_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# swath fixtures (orthorectify / rectify) — from the deterministic granules
+# ---------------------------------------------------------------------------
+
+_ORTHO_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.string()),
+        ("rows", pa.int32()),
+        ("cols", pa.int32()),
+        ("lon_mean", pa.float64()),
+        ("lat_mean", pa.float64()),
+    ]
+)
+
+_RECTIFY_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.string()),
+        ("var", pa.string()),
+        ("tile_y", pa.int32()),
+        ("tile_x", pa.int32()),
+        ("valid", pa.int32()),
+    ]
+)
+
+# the rectify_swath query's fixed target grid (mirrored in __spark_entry__)
+RECTIFY_GRID = dict(
+    crs="EPSG:4326", x0=11.0, y0=50.5, res=0.02, width=80, height=70,
+    tile_w=40, tile_h=35,
+)
+
+
+def _fx_orthorectify(out_dir: str) -> None:
+    from xcube_stac_spark.operators.swath import orthorectify_arrays
+
+    rows = []
+    for s in synth.swath_rows():
+        shp = (s["rows"], s["cols"])
+        lon = np.frombuffer(s["lon"], np.float64).reshape(shp)
+        lat = np.frombuffer(s["lat"], np.float64).reshape(shp)
+        elev = np.frombuffer(s["elev"], np.float64).reshape(shp)
+        zen = np.frombuffer(s["zenith"], np.float64).reshape(shp)
+        azi = np.frombuffer(s["azimuth"], np.float64).reshape(shp)
+        lon2, lat2 = orthorectify_arrays(lon, lat, elev, zen, azi)
+        rows.append(
+            {
+                "item_id": s["item_id"],
+                "rows": shp[0],
+                "cols": shp[1],
+                "lon_mean": round_half_up(float(lon2.mean()), 6),
+                "lat_mean": round_half_up(float(lat2.mean()), 6),
+            }
+        )
+    _write(out_dir, "orthorectify", rows, _ORTHO_SCHEMA)
+
+
+def _fx_rectify_swath(out_dir: str) -> None:
+    from xcube_stac_spark.operators.swath import rectify_plane
+
+    g = GridSpec(**RECTIFY_GRID)
+    rows = []
+    for s in synth.swath_rows():
+        shp = (s["rows"], s["cols"])
+        lon = np.frombuffer(s["lon"], np.float64).reshape(shp).ravel()
+        lat = np.frombuffer(s["lat"], np.float64).reshape(shp).ravel()
+        val = np.frombuffer(s["values"], np.float32).reshape(shp).ravel()
+        plane = rectify_plane(lon, lat, val, g)
+        if plane is None:
+            continue
+        for ty in range(g.n_tiles_y):
+            for tx in range(g.n_tiles_x):
+                rs, cs = g.tile_shape(tx, ty)
+                sub = plane[ty * g.tile_h : ty * g.tile_h + rs, tx * g.tile_w : tx * g.tile_w + cs]
+                nv = int(np.isfinite(sub).sum())
+                if nv:
+                    rows.append(
+                        {
+                            "item_id": s["item_id"],
+                            "var": s["var"],
+                            "tile_y": ty,
+                            "tile_x": tx,
+                            "valid": nv,
+                        }
+                    )
+    _write(out_dir, "rectify_swath", rows, _RECTIFY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# pyramid — canvas-based NumPy recomputation (independent of the engine's
+# per-tile groupBy structure)
+# ---------------------------------------------------------------------------
+
+_PYR_SCHEMA = pa.schema(
+    [
+        ("level", pa.int32()),
+        ("n_tiles", pa.int64()),
+        ("avg_valid_frac", pa.float64()),
+    ]
+)
+
+
+def _halve_canvas(c: np.ndarray) -> np.ndarray:
+    h, w = c.shape
+    blocks = c.reshape(h // 2, 2, w // 2, 2)
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN blocks
+        return np.nanmean(blocks, axis=(1, 3)).astype(np.float32)
+
+
+def _fx_pyramid(sdir: str, out_dir: str, grid: GridSpec) -> None:
+    """Whole-canvas pyramid: stitch each (day, band)'s oracle tiles onto a
+    NaN canvas padded to tile multiples, nanmean-halve the canvas per level,
+    track tile existence as parent-of-existing-children. Tile sizes are even
+    so canvas 2x2 blocks never straddle engine tile boundaries — the engine's
+    per-tile quadrant assembly computes the identical planes."""
+    ocube = oracle.build_cube_numpy(
+        sdir, grid, time_range=PYR_TIME_RANGE, bands=PYR_BANDS
+    )
+    groups: dict[tuple, dict] = {}
+    for (day, band, ty, tx), tile in ocube.tiles.items():
+        groups.setdefault((day, band), {})[(ty, tx)] = tile
+
+    per_level: dict[int, list[float]] = {lv: [] for lv in range(PYR_LEVELS + 1)}
+    for tiles_d in groups.values():
+        g = grid
+        canvas = np.full(
+            (g.n_tiles_y * g.tile_h, g.n_tiles_x * g.tile_w), np.nan, np.float32
+        )
+        exist = set()
+        for (ty, tx), tile in tiles_d.items():
+            r, c = tile.shape
+            canvas[ty * g.tile_h : ty * g.tile_h + r, tx * g.tile_w : tx * g.tile_w + c] = tile
+            exist.add((ty, tx))
+        for lv in range(PYR_LEVELS + 1):
+            if lv > 0:
+                halved = _halve_canvas(canvas)
+                g = g.coarsen()
+                exist = {(ty // 2, tx // 2) for ty, tx in exist}
+                canvas = np.full(
+                    (g.n_tiles_y * g.tile_h, g.n_tiles_x * g.tile_w), np.nan, np.float32
+                )
+                canvas[: halved.shape[0], : halved.shape[1]] = halved
+            for ty, tx in exist:
+                rs, cs = g.tile_shape(tx, ty)
+                sub = canvas[
+                    ty * g.tile_h : ty * g.tile_h + rs, tx * g.tile_w : tx * g.tile_w + cs
+                ]
+                per_level[lv].append(float(np.isfinite(sub).mean()))
+
+    rows = [
+        {
+            "level": lv,
+            "n_tiles": len(v),
+            "avg_valid_frac": round_half_up(float(np.sum(np.asarray(v, np.float64)) / len(v)), 4),
+        }
+        for lv, v in per_level.items()
+        if v
+    ]
+    _write(out_dir, "pyramid", rows, _PYR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# entry point
+# ---------------------------------------------------------------------------
+
+
+def ensure_fixtures(sf: str, force: bool = False) -> str:
+    """Generate (or reuse) the fixture parquet set for one scale factor.
+    Returns the fixtures directory. Cached via a versioned marker file."""
+    sdir = synth.generate(sf)
+    out_dir = os.path.join(sdir, "fixtures")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not force and os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == str(FIXTURE_VERSION):
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    grid = synth.default_grid(sf)
+    _fx_cube_build(sdir, out_dir, grid)
+    _fx_angles_cube(sdir, out_dir, grid)
+    _fx_image_stats(sdir, out_dir)
+    _fx_uv_clip(sdir, out_dir)
+    _fx_orthorectify(out_dir)
+    _fx_rectify_swath(out_dir)
+    _fx_pyramid(sdir, out_dir, grid)
+    with open(marker, "w") as f:
+        f.write(str(FIXTURE_VERSION))
+    return out_dir
+
+
+if __name__ == "__main__":
+    import sys
+
+    for sf in sys.argv[1:] or ["sf0.001", "sf0.01"]:
+        print(sf, "->", ensure_fixtures(sf, force=True))

@@ -7,24 +7,37 @@ the similarity-search component a 100 TB training-data pipeline needs.
 * ``brute_force_topk`` — exact cosine top-k as the correctness baseline:
   one pass, dot products via ``F.aggregate``/``zip_with`` (JVM-side, no
   UDF), window top-k per query.
-* ``signbit_bucket`` / ``lsh_topk`` — the scale path: axis-aligned
-  random-hyperplane LSH (sign pattern of the first P dimensions → bucket).
-  Queries probe only their own bucket → the candidate set shrinks ~2^P×.
-  At 10^12 vectors the table is written bucketed/partitioned by this key so
-  probes are partition-pruned scans, no shuffle.
-* ``near_dup_pairs`` — embedding-cosine near-duplicate detection within
-  buckets (the image-dedup analogue of text MinHash).
+* ``hyperplane_bands`` / ``lsh_topk`` / ``near_dup_pairs`` — the scale
+  path: BANDED random-hyperplane LSH (the SimHash-banding shape of
+  operators/text.simhash_near_pairs applied to real-valued vectors). Each
+  of B bands hashes a vector to a ``bits``-bit key (sign of the dot product
+  with ``bits`` deterministic ±1 hyperplanes); candidates are pairs sharing
+  ANY band key — an equi-join per band, O(candidates) exact verification.
+  A random pair collides in one band with probability p^bits where
+  p = 1 - θ/π (θ = the pair's angle), so each band shrinks the candidate
+  set ~2^bits× for unrelated vectors while near-duplicates (θ→0, p→1)
+  collide in at least one of the B bands with high probability
+  (recall = 1-(1-p^bits)^B). At 10^12 vectors the table is written
+  bucketed/partitioned by (band, key) so probes are partition-pruned
+  scans, no shuffle; ``bits`` scales with log2(n) to hold per-bucket
+  occupancy constant.
 
-All math is in double precision with deterministic formulas so DuckDB
-oracles reproduce values to 1e-6.
+Hyperplanes are md5-derived ±1 vectors (deterministic, library-free) so the
+DuckDB oracle reproduces the exact same keys; all scoring is double
+precision rounded to 1e-6.
 """
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-SIGN_DIMS = 8  # bucket key = sign pattern of first 8 dims → 256 buckets
+EMB_DIM = 64  # the mandated embeddings-table dimensionality
+TOPK_BANDS, TOPK_BITS = 4, 8  # lsh_topk defaults: wide-ish buckets → recall
+NEAR_BANDS, NEAR_BITS = 8, 12  # near_dup defaults: tight buckets → precision
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -72,25 +85,91 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def signbit_bucket(vec: Column, dims: int = SIGN_DIMS) -> Column:
-    """LSH bucket id: bit d set iff vec[d] > 0 (axis-aligned hyperplanes)."""
-    out = F.lit(0)
-    for d in range(dims):
-        out = out + F.when(F.element_at(vec, d + 1) > 0, F.lit(1 << d)).otherwise(0)
-    return out.cast("int")
+@lru_cache(maxsize=64)
+def hyperplane_signs(
+    bands: int, bits: int, dim: int = EMB_DIM
+) -> tuple[tuple[tuple[float, ...], ...], ...]:
+    """±1 hyperplane table [band][bit][dim] derived from md5 — deterministic
+    and reproducible in any engine (the DuckDB oracle embeds the same values
+    as literals). The first md5 byte's low bit of "band|bit|dim" picks the
+    sign; md5's avalanche makes the planes effectively independent."""
+    return tuple(
+        tuple(
+            tuple(
+                1.0 if hashlib.md5(f"{b}|{i}|{d}".encode()).digest()[0] & 1 else -1.0
+                for d in range(dim)
+            )
+            for i in range(bits)
+        )
+        for b in range(bands)
+    )
 
 
-def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
-    """Bucketed ANN: candidates share the query's sign-pattern bucket.
-    Same output shape as brute_force_topk (rank within bucket); recall<1 by
-    design — the scale/latency trade."""
-    e = embeddings.withColumn("bucket", signbit_bucket(F.col("embedding")))
-    q = queries.withColumn("bucket", signbit_bucket(F.col("qvec")))
-    joined = e.join(F.broadcast(q), "bucket").where(F.col("vec_id") != F.col("query_id"))
-    scored = joined.select(
-        "query_id",
-        "vec_id",
-        F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+def _band_key(vec: Column, plane_rows) -> Column:
+    """bits-bit key for one band: bit i = sign of <vec, plane_i>. The dot is
+    rounded to 1e-6 before the sign test so Spark's fold order and DuckDB's
+    list_dot_product agree bit-for-bit."""
+    key = F.lit(0)
+    for i, signs in enumerate(plane_rows):
+        arr = F.array(*[F.lit(s) for s in signs])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        key = key + F.when(F.round(dot, 6) > 0, F.lit(1 << i)).otherwise(0)
+    return key.cast("int")
+
+
+def hyperplane_bands(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: int,
+    bits: int,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """(id, band, key) — one row per (vector, band), the LSH bucket table.
+    At rest this is what the corpus is bucketed/partitioned by."""
+    planes = hyperplane_signs(bands, bits, dim)
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"), _band_key(F.col(vec_col), planes[b]).alias("key")
+        )
+        for b in range(bands)
+    ]
+    return df.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bands: int = TOPK_BANDS,
+    bits: int = TOPK_BITS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Banded ANN: candidates share ANY of the query's band keys (multi-band
+    probing), then exact cosine ranks them. Same output shape as
+    brute_force_topk; recall < 1 by design — the scale/latency trade."""
+    eb = hyperplane_bands(embeddings, "vec_id", "embedding", bands, bits, dim)
+    qb = hyperplane_bands(queries, "query_id", "qvec", bands, bits, dim)
+    cand = (
+        eb.join(F.broadcast(qb), ["band", "key"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(embeddings, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
@@ -98,24 +177,42 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10) -> DataFram
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
-    """Embedding-cosine near-duplicates via the bucket join (vec_a < vec_b).
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    bands: int = NEAR_BANDS,
+    bits: int = NEAR_BITS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates via banded-LSH candidates
+    (vec_a < vec_b) + exact cosine verification — the image-dedup primitive
+    (the embedding twin of text simhash_near_pairs, same join shape).
 
-    At planetary scale this is the image-dedup primitive: bucket join
-    (256-way partition-pruned), pairwise cosine only within buckets."""
-    e = embeddings.select(
-        F.col("vec_id"), F.col("embedding"),
-        signbit_bucket(F.col("embedding")).alias("bucket"),
-    )
-    a = e.alias("a")
-    b = e.alias("b")
-    return (
-        a.join(b, "bucket")
+    Per band a random pair collides with ~2^-bits probability, so the
+    candidate join is O(n · occupancy) instead of O(n²); near-dups at
+    cos ≥ 0.9 (θ ≤ 26°, p ≥ 0.86) survive with recall 1-(1-p^bits)^bands
+    (~0.87 at the defaults)."""
+    e = embeddings.select("vec_id", "embedding")
+    bk = hyperplane_bands(e, "vec_id", "embedding", bands, bits, dim)
+    a = bk.alias("a")
+    b = bk.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.alias("ea")
+    ebb = e.alias("eb")
+    return (
+        cand.join(ea, F.col("vec_a") == F.col("ea.vec_id"))
+        .join(ebb, F.col("vec_b") == F.col("eb.vec_id"))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
+            "vec_a",
+            "vec_b",
+            F.round(
+                cosine(F.col("ea.embedding"), F.col("eb.embedding")), 6
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

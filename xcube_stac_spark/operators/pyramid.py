@@ -16,6 +16,8 @@ into a NaN canvas before reduction and parents cropped to their true shape.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -46,7 +48,8 @@ def _halve(tile: np.ndarray) -> np.ndarray:
         )
         h, w = tile.shape
     blocks = tile.reshape(h // 2, 2, w // 2, 2)
-    with np.errstate(invalid="ignore"):
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN blocks
         out = np.nanmean(blocks, axis=(1, 3))
     return out.astype(np.float32)
 

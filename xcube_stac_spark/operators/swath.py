@@ -110,6 +110,10 @@ ORTHO_SCHEMA = T.StructType(
         T.StructField("cols", T.IntegerType()),
         T.StructField("lon", T.BinaryType()),
         T.StructField("lat", T.BinaryType()),
+        # plane means ride along so metadata-only consumers (and the DuckDB
+        # value oracle) can check the correction without touching binaries
+        T.StructField("lon_mean", T.DoubleType()),
+        T.StructField("lat_mean", T.DoubleType()),
     ]
 )
 
@@ -134,6 +138,8 @@ def orthorectify(swaths: DataFrame) -> DataFrame:
                 out["cols"].append(shp[1])
                 out["lon"].append(lon2.tobytes())
                 out["lat"].append(lat2.tobytes())
+                out["lon_mean"].append(float(lon2.mean()))
+                out["lat_mean"].append(float(lat2.mean()))
             yield pd.DataFrame(out)
 
     return swaths.select(
@@ -157,6 +163,32 @@ RECTIFY_SCHEMA = T.StructType(
 )
 
 
+def rectify_plane(
+    lon: np.ndarray, lat: np.ndarray, val: np.ndarray, g: GridSpec
+) -> np.ndarray | None:
+    """The rectification kernel: bin swath pixels (1-D arrays) into target
+    cells, resolve collisions by nearest-to-center, return the full
+    (height, width) float32 plane (NaN where no swath pixel lands) or None
+    when the swath misses the grid entirely. Shared by the Spark UDF and the
+    fixture oracle."""
+    gc = np.floor((lon - g.x0) / g.res).astype(np.int64)
+    gr = np.floor((g.y0 - lat) / g.res).astype(np.int64)
+    ok = (gc >= 0) & (gc < g.width) & (gr >= 0) & (gr < g.height)
+    if not ok.any():
+        return None
+    gc, gr, lon_s, lat_s, val_s = gc[ok], gr[ok], lon[ok], lat[ok], val[ok]
+    # nearest-to-center collision resolve: order candidates by
+    # distance DESC then overwrite — last (=nearest) wins
+    cx = g.x0 + (gc + 0.5) * g.res
+    cy = g.y0 - (gr + 0.5) * g.res
+    d2 = (lon_s - cx) ** 2 + (lat_s - cy) ** 2
+    order = np.argsort(-d2, kind="stable")
+    flat = gr[order] * g.width + gc[order]
+    plane = np.full(g.width * g.height, np.nan, np.float32)
+    plane[flat] = val_s[order]
+    return plane.reshape(g.height, g.width)
+
+
 def rectify_swath(swaths: DataFrame, grid: GridSpec) -> DataFrame:
     """Nearest-source rectification: for each target cell, pick the swath
     pixel whose (lon, lat) is nearest, if within half a swath-pixel spacing.
@@ -175,23 +207,9 @@ def rectify_swath(swaths: DataFrame, grid: GridSpec) -> DataFrame:
                 lon = np.frombuffer(r.lon, np.float64).reshape(shp).ravel()
                 lat = np.frombuffer(r.lat, np.float64).reshape(shp).ravel()
                 val = np.frombuffer(r.values, np.float32).reshape(shp).ravel()
-                # global col/row in the target grid
-                gc = np.floor((lon - g.x0) / g.res).astype(np.int64)
-                gr = np.floor((g.y0 - lat) / g.res).astype(np.int64)
-                ok = (gc >= 0) & (gc < g.width) & (gr >= 0) & (gr < g.height)
-                if not ok.any():
+                plane = rectify_plane(lon, lat, val, g)
+                if plane is None:
                     continue
-                gc, gr, lon_s, lat_s, val_s = gc[ok], gr[ok], lon[ok], lat[ok], val[ok]
-                # nearest-to-center collision resolve: order candidates by
-                # distance DESC then overwrite — last (=nearest) wins
-                cx = g.x0 + (gc + 0.5) * g.res
-                cy = g.y0 - (gr + 0.5) * g.res
-                d2 = (lon_s - cx) ** 2 + (lat_s - cy) ** 2
-                order = np.argsort(-d2, kind="stable")
-                flat = gr[order] * g.width + gc[order]
-                plane = np.full(g.width * g.height, np.nan, np.float32)
-                plane[flat] = val_s[order]
-                plane = plane.reshape(g.height, g.width)
                 # emit per-tile
                 for ty in range(g.n_tiles_y):
                     for tx in range(g.n_tiles_x):

@@ -39,6 +39,44 @@ def _load(sdir: str, name: str) -> pd.DataFrame:
     return pq.read_table(os.path.join(sdir, f"{name}.parquet")).to_pandas()
 
 
+def search_scenes_pandas(
+    scenes: pd.DataFrame,
+    bbox=None,
+    time_range=None,
+    collections=None,
+    query: dict | None = None,
+) -> pd.DataFrame:
+    """The SEARCH stage alone (F1/F2/F5 + property query), pandas edition —
+    mirrors operators/spatial.search_scenes semantics with no bbox/time when
+    omitted."""
+    df = scenes.copy()
+    if collections:
+        df = df[df["collection"].isin(collections)]
+    if bbox is not None:
+        # bbox envelope intersect (F1)
+        df = df[
+            ~(
+                (df["bbox_xmax"] < bbox[0])
+                | (df["bbox_xmin"] > bbox[2])
+                | (df["bbox_ymax"] < bbox[1])
+                | (df["bbox_ymin"] > bbox[3])
+            )
+        ]
+    if time_range is not None:
+        # time (F2): point within, or interval overlap
+        t0 = pd.Timestamp(time_range[0], tz="UTC")
+        t1 = pd.Timestamp(time_range[1], tz="UTC")
+        point_ok = df["datetime"].notna() & (df["datetime"] >= t0) & (df["datetime"] <= t1)
+        iv_ok = df["datetime"].isna() & (df["start_datetime"] <= t1) & (df["end_datetime"] >= t0)
+        df = df[point_ok | iv_ok]
+    if query:
+        for prop, vals in query.items():
+            df = df[df[prop].isin(vals)]
+    # antimeridian guard (F5)
+    df = df[(df["bbox_xmax"] - df["bbox_xmin"]).abs() < 20.0]
+    return df
+
+
 def select_scenes_pandas(
     scenes: pd.DataFrame,
     bbox,
@@ -48,29 +86,7 @@ def select_scenes_pandas(
 ) -> pd.DataFrame:
     """Search + solar-day + dedup, pandas edition (mirrors SEMANTICS of
     store.py:577-595, utils.py:248-280/354-371, sen2.py:368-374/617-623)."""
-    df = scenes.copy()
-    if collections:
-        df = df[df["collection"].isin(collections)]
-    # bbox envelope intersect (F1)
-    df = df[
-        ~(
-            (df["bbox_xmax"] < bbox[0])
-            | (df["bbox_xmin"] > bbox[2])
-            | (df["bbox_ymax"] < bbox[1])
-            | (df["bbox_ymin"] > bbox[3])
-        )
-    ]
-    # time (F2): point within, or interval overlap
-    t0 = pd.Timestamp(time_range[0], tz="UTC")
-    t1 = pd.Timestamp(time_range[1], tz="UTC")
-    point_ok = df["datetime"].notna() & (df["datetime"] >= t0) & (df["datetime"] <= t1)
-    iv_ok = df["datetime"].isna() & (df["start_datetime"] <= t1) & (df["end_datetime"] >= t0)
-    df = df[point_ok | iv_ok]
-    if query:
-        for prop, vals in query.items():
-            df = df[df[prop].isin(vals)]
-    # antimeridian guard (F5)
-    df = df[(df["bbox_xmax"] - df["bbox_xmin"]).abs() < 20.0]
+    df = search_scenes_pandas(scenes, bbox, time_range, collections, query)
     # nominal datetime + solar day (C6) — int() truncation like the reference
     mid = df["start_datetime"] + (df["end_datetime"] - df["start_datetime"]) / 2
     df = df.assign(nominal_datetime=df["datetime"].fillna(mid))
