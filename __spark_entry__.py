@@ -428,15 +428,20 @@ def _q_image_stats(spark, sf_dir):
 
 
 def _q_angles_cube(spark, sf_dir):
-    """C14/C15: viewing-angle planes (23x23 @ tile-span/23 ≈ 5 km) regrid
-    through the SAME pipeline as spectral bands — per-asset resolution and
-    scaling. Oracle = NumPy-oracle fixture parquet."""
+    """C14/C15: viewing-angle planes (23x23 @ tile-span/23 ≈ 5 km) PARSED
+    FROM GRANULE XML (sources/angles.py, reference sen2.py:997-1112:
+    detector nanmean-merge, Geoposition geo-referencing) and regridded
+    through the SAME pipeline as spectral bands. Oracle = NumPy fixture
+    parquet computed from the images-table angle path — the two paths must
+    agree bit-exactly."""
+    from xcube_stac_spark.sources import angles as angles_src
+
     sf = os.path.basename(os.path.normpath(sf_dir))
     if sf not in synth.PARAMS:
         sf = "sf0.01"
     cat = _cat(spark, sf_dir)
     grid = synth.default_grid(sf)
-    cube = cube_plan.build_cube(
+    cube = angles_src.angles_cube_from_xml(
         cat, grid, time_range=fixtures.ANGLE_TIME_RANGE, bands=fixtures.ANGLE_BANDS
     )
     return cube.select(

@@ -64,6 +64,10 @@ class SceneCatalog:
     def assets(self) -> DataFrame:
         return self._table("assets")
 
+    # -- S13/C14: granule metadata XML sidecars (sen2.py:997-1112) ----------
+    def granule_xml(self) -> DataFrame:
+        return self._table("granule_xml")
+
     # -- S2: single item lookup (access_item, utils.py:473-518) ------------
     def item(self, item_id: str) -> DataFrame:
         return self.scenes().where(F.col("item_id") == item_id)

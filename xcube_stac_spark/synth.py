@@ -74,6 +74,91 @@ PARAMS = {
 
 _FMTS = ("raw", "png", "lossy")
 
+#: bump to force regeneration of already-materialized synth dirs when the
+#: generated content changes (checked against the _SUCCESS marker)
+SYNTH_VERSION = 2
+
+ANGLE_GRID_N = 23  # native angle-grid size (reference sen2.py:1031-1032)
+ANGLE_SCALE = 0.01
+ANGLE_OFFSET = -0.01
+
+
+def _angle_values_xml(plane: np.ndarray, col_step: float, indent: str) -> str:
+    """<Zenith>/<Azimuth> body: COL/ROW_STEP + 23 space-separated rows
+    (NaN for cells outside the detector's coverage) — the reference's
+    Values_List shape (sen2.py:1100-1112)."""
+    rows = "\n".join(
+        f"{indent}    <VALUES>" + " ".join(
+            "NaN" if not np.isfinite(v) else f"{v:.4f}" for v in row
+        ) + "</VALUES>"
+        for row in plane
+    )
+    return (
+        f"{indent}<COL_STEP unit=\"m\">{col_step:.3f}</COL_STEP>\n"
+        f"{indent}<ROW_STEP unit=\"m\">{col_step:.3f}</ROW_STEP>\n"
+        f"{indent}  <Values_List>\n{rows}\n{indent}  </Values_List>"
+    )
+
+
+def granule_xml(
+    item_id: str,
+    proj_code: str,
+    ulx: float,
+    uly: float,
+    col_step: float,
+    vza_deg: np.ndarray,
+    vaa_deg: np.ndarray,
+) -> str:
+    """Granule metadata XML mirroring the Sentinel-2 L2A Tile_Angles layout
+    the reference parses (sen2.py:997-1112): Tile_Geocoding geoposition +
+    per-(band, detector) Viewing_Incidence_Angles_Grids with Zenith/Azimuth
+    23x23 value lists, plus a Sun_Angles_Grid. The full band-0 plane is
+    SPLIT across two detectors (cols 0..11 / 12..22 with an identical
+    overlap column) so the consumer's nanmean-over-detectors really merges.
+    """
+    n = vza_deg.shape[1]
+    det1 = np.full_like(vza_deg, np.nan)
+    det2 = np.full_like(vza_deg, np.nan)
+    half = n // 2
+    det1[:, : half + 1] = vza_deg[:, : half + 1]
+    det2[:, half:] = vza_deg[:, half:]
+    det1a = np.full_like(vaa_deg, np.nan)
+    det2a = np.full_like(vaa_deg, np.nan)
+    det1a[:, : half + 1] = vaa_deg[:, : half + 1]
+    det2a[:, half:] = vaa_deg[:, half:]
+    grids = "\n".join(
+        f"""    <Viewing_Incidence_Angles_Grids bandId="0" detectorId="{det_id}">
+      <Zenith>
+{_angle_values_xml(z, col_step, '        ')}
+      </Zenith>
+      <Azimuth>
+{_angle_values_xml(a, col_step, '        ')}
+      </Azimuth>
+    </Viewing_Incidence_Angles_Grids>"""
+        for det_id, z, a in ((1, det1, det1a), (2, det2, det2a))
+    )
+    sun = f"""    <Sun_Angles_Grid>
+      <Zenith>
+{_angle_values_xml(vza_deg * 0.5 + 20.0, col_step, '        ')}
+      </Zenith>
+      <Azimuth>
+{_angle_values_xml(vaa_deg * 0.25 + 90.0, col_step, '        ')}
+      </Azimuth>
+    </Sun_Angles_Grid>"""
+    return f"""<n1:Level-2A_Tile_ID xmlns:n1="https://psd-14.sentinel2.eo.esa.int/PSD/S2_PDI_Level-2A_Tile_Metadata.xsd">
+  <n1:General_Info><TILE_ID>{item_id}</TILE_ID></n1:General_Info>
+  <n1:Geometric_Info>
+    <Tile_Geocoding>
+      <HORIZONTAL_CS_CODE>{proj_code}</HORIZONTAL_CS_CODE>
+      <Geoposition><ULX>{ulx:.3f}</ULX><ULY>{uly:.3f}</ULY></Geoposition>
+    </Tile_Geocoding>
+    <Tile_Angles>
+{sun}
+{grids}
+    </Tile_Angles>
+  </n1:Geometric_Info>
+</n1:Level-2A_Tile_ID>"""
+
 
 def zone_grid_origin(zone: int, p: SynthParams) -> tuple[float, float]:
     """West-edge easting / south-edge northing of the zone's scene grid,
@@ -170,12 +255,15 @@ def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
     out_dir = os.path.join(out_root or SYNTH_ROOT, sf)
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker) and not force:
-        return out_dir
+        with open(marker) as f:
+            if f"synth_version={SYNTH_VERSION}" in f.read():
+                return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
     scenes: list[dict] = []
     images: list[dict] = []
     assets: list[dict] = []
+    xmls: list[dict] = []
 
     def add_scene(zone, tx, ty, day, proc, second, *, buggy_bbox=False, wrong_hemi=False, interval=False):
         item_id = _item_id(zone, tx, ty, day, proc, second)
@@ -231,8 +319,22 @@ def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
         vza = np.clip((ang_base / 2.0 + ii * 0.3 + jj * 0.1) * 100 + 1, 1, 65535).astype(np.uint16)
         vaa = np.clip(((ang_base * 3.0) % 360 + ii * 0.2) * 100 + 1, 1, 65535).astype(np.uint16)
         ang_res = (p.w * p.res) / 23.0  # 23x23 plane spans the whole tile
-        band_imgs.append(("VZA", vza, "raw", ang_res, 0.01, -0.01))
-        band_imgs.append(("VAA", vaa, "raw", ang_res, 0.01, -0.01))
+        band_imgs.append(("VZA", vza, "raw", ang_res, ANGLE_SCALE, ANGLE_OFFSET))
+        band_imgs.append(("VAA", vaa, "raw", ang_res, ANGLE_SCALE, ANGLE_OFFSET))
+        # C14 sidecar: the SAME angle planes as granule XML (degrees), the
+        # raw form the reference parses; the XML consumer must reconstruct
+        # the VZA/VAA DN planes above bit-exactly
+        xmls.append(
+            dict(
+                item_id=item_id,
+                xml=granule_xml(
+                    item_id, proj,
+                    ulx=x0, uly=y_north, col_step=ang_res,
+                    vza_deg=vza.astype(np.float64) * ANGLE_SCALE + ANGLE_OFFSET,
+                    vaa_deg=vaa.astype(np.float64) * ANGLE_SCALE + ANGLE_OFFSET,
+                ),
+            )
+        )
         for band, img, fmt, res, a_scale, a_offset in band_imgs:
             image_id = f"{item_id}:{band}"
             images.append(
@@ -328,8 +430,13 @@ def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
         row_group_size=32,
     )
     pq.write_table(pa.Table.from_pylist(assets, schema=assets_schema), os.path.join(out_dir, "assets.parquet"))
+    xml_schema = pa.schema([("item_id", pa.string()), ("xml", pa.string())])
+    pq.write_table(
+        pa.Table.from_pylist(xmls, schema=xml_schema),
+        os.path.join(out_dir, "granule_xml.parquet"),
+    )
     with open(marker, "w") as f:
-        f.write(f"scenes={len(scenes)} images={len(images)}\n")
+        f.write(f"synth_version={SYNTH_VERSION} scenes={len(scenes)} images={len(images)}\n")
     return out_dir
 
 
