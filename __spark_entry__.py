@@ -559,6 +559,39 @@ def _q_pyramid(spark, sf_dir):
     )
 
 
+def _q_describe_data(spark, sf_dir):
+    """search_data → DatasetDescriptor projection (store.py:219-242):
+    per-item (data_id, bbox, time_range, crs)."""
+    return _cat(spark, sf_dir).describe_data()
+
+
+def _q_pyramid_combined(spark, sf_dir):
+    """CombinedMultiLevelDataset (accessors/base.py:86-100): compose the
+    B02 pyramid, the VZA pyramid and a DUPLICATE B02 pyramid; first-input
+    precedence suppresses the duplicate's colliding keys. Oracle = fixture
+    from the canvas-based NumPy pyramid per band."""
+    from xcube_stac_spark.operators import pyramid as pyr_op
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    if sf not in synth.PARAMS:
+        sf = "sf0.01"
+    cat = _cat(spark, sf_dir)
+    grid = synth.default_grid(sf)
+
+    def pyr(band):
+        cube = cube_plan.build_cube(
+            cat, grid, time_range=fixtures.PYR_TIME_RANGE, bands=[band]
+        )
+        return pyr_op.build_pyramid(cube, grid, levels=fixtures.PYR_LEVELS)
+
+    b02 = pyr("B02")
+    combined = pyr_op.combine_pyramids([b02, pyr("VZA"), b02])
+    return combined.groupBy("level", "band").agg(
+        F.count("*").alias("n_tiles"),
+        F.round(F.avg("valid_frac"), 4).alias("avg_valid_frac"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scene_search": _q_scene_search,
@@ -602,6 +635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orthorectify": _q_orthorectify,
         "rectify_swath": _q_rectify_swath,
         "pyramid": _q_pyramid,
+        "pyramid_combined": _q_pyramid_combined,
+        "describe_data": _q_describe_data,
     }
 
 
@@ -750,6 +785,18 @@ GROUP BY 1, 2
 """
     sqls["data_ids"] = f"""
 SELECT item_id, tile_id, proc_version FROM {_SCENES}
+"""
+    sqls["describe_data"] = f"""
+SELECT item_id AS data_id,
+       bbox_xmin AS xmin, bbox_ymin AS ymin, bbox_xmax AS xmax, bbox_ymax AS ymax,
+       CASE WHEN start_datetime IS NOT NULL AND end_datetime IS NOT NULL
+            THEN strftime(start_datetime, '%Y-%m-%d %H:%M:%S')
+            ELSE strftime(datetime, '%Y-%m-%d %H:%M:%S') END AS t_start,
+       CASE WHEN start_datetime IS NOT NULL AND end_datetime IS NOT NULL
+            THEN strftime(end_datetime, '%Y-%m-%d %H:%M:%S')
+            ELSE NULL END AS t_end,
+       proj_code AS crs
+FROM {_SCENES}
 """
     sqls["distinct_formats"] = f"""
 SELECT fmt, band, count(*) AS n

@@ -118,3 +118,46 @@ def test_phash_distinguishes_content():
     rng = np.random.default_rng(9)
     c = codecs.phash64(rng.integers(0, 65535, (64, 64)).astype(np.uint16))
     assert bin(a ^ c).count("1") > 10
+
+
+def test_jpeg_roundtrip_psnr_and_shapes():
+    """Baseline JPEG: spec-structured stream (SOI/DQT/SOF0/DHT/SOS/EOI),
+    shape-preserving decode incl. non-multiple-of-8 edges, PSNR >= 40 dB on
+    synthetic-like content (8-bit mapping + quality-90 quantization)."""
+    rng = np.random.default_rng(7)
+    for shape in [(64, 64), (23, 23), (61, 77)]:
+        yy, xx = np.mgrid[0 : shape[0], 0 : shape[1]]
+        img = np.clip(
+            3000 + 800 * np.sin(xx / 9.0) + 400 * np.cos(yy / 13.0)
+            + rng.normal(0, 20, shape),
+            1, 65535,
+        ).astype(np.uint16)
+        data = codecs.encode_jpeg(img)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        assert b"\xff\xc0" in data and b"\xff\xc4" in data and b"\xff\xdb" in data
+        dec = codecs.decode_jpeg(data)
+        assert dec.shape == img.shape and dec.dtype == np.uint16
+        assert codecs.psnr(img, dec) >= 40.0
+
+
+def test_jpeg_rejects_non_baseline_and_garbage():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SOI"):
+        codecs.decode_jpeg(b"not a jpeg")
+    img = np.full((16, 16), 9000, np.uint16)
+    data = bytearray(codecs.encode_jpeg(img))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with _pytest.raises(ValueError, match="non-baseline"):
+        codecs.decode_jpeg(bytes(data))
+
+
+def test_jpeg_preserves_nodata_stripes():
+    """The synth nodata convention (DN 0 stripes) survives the lossy
+    roundtrip: stripe interiors stay exactly 0 after 8-bit mapping."""
+    img = np.full((64, 64), 4000, np.uint16)
+    img[:24] = 0
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(img))
+    assert (dec[:20] == 0).all()  # away from the DCT-ringing boundary
+    assert (dec[28:] > 3000).all()

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import struct
 import zlib
+from functools import lru_cache
 
 import numpy as np
 
@@ -195,11 +196,332 @@ def decode_lossy(data: bytes, w: int | None = None, h: int | None = None) -> np.
 
 
 # ---------------------------------------------------------------------------
+# jpeg: baseline sequential DCT, single-component (grayscale), JFIF
+# ---------------------------------------------------------------------------
+# Pure-NumPy implementation of the ITU-T T.81 baseline process with the
+# spec's example tables (Annex K): K.1 luminance quantization (scaled to
+# quality 90), K.3.1/K.3.2 luminance DC/AC Huffman tables. 8-bit precision
+# (baseline is 8-bit only): uint16 DN are mapped to 8 bits with v8 =
+# round(DN/257) on encode and DN' = v8*257 on decode — lossy by design, the
+# real-corpus format the reference opens via GDAL (constants.py:76-83).
+
+# K.1 luminance quantization table, zigzag order NOT applied (natural order)
+_JQT_BASE = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+_JPEG_QUALITY = 90
+_JQT = np.clip(
+    np.floor((_JQT_BASE * (200 - 2 * _JPEG_QUALITY) + 50) / 100), 1, 255
+)
+
+# zigzag scan order: natural index of each zigzag position
+_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+# Annex K.3.1: luminance DC — BITS (codes per length 1..16) and HUFFVAL
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+# Annex K.3.2: luminance AC
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_ENC = _huff_codes(_DC_BITS, _DC_VALS)
+_AC_ENC = _huff_codes(_AC_BITS, _AC_VALS)
+
+
+@lru_cache(maxsize=8)
+def _huff_lut(bits_vals: tuple) -> tuple[np.ndarray, np.ndarray]:
+    """16-bit-peek decode LUT: peek -> (symbol, code length). Every code of
+    length L fills 2^(16-L) consecutive entries — one array index decodes a
+    symbol (the classic fast-JPEG table trick, no per-bit tree walk)."""
+    bits, vals = bits_vals
+    sym = np.zeros(1 << 16, dtype=np.int16) - 1
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            sym[lo:hi] = vals[k]
+            ln[lo:hi] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return sym, ln
+
+
+class _BitWriter:
+    def __init__(self):
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def encode_jpeg(img: np.ndarray) -> bytes:
+    """Baseline JFIF bytes for a uint16 image (8-bit mapped, quality 90)."""
+    img8 = np.round(np.asarray(img, np.float64) / 257.0)
+    blocks, h, w, H, W = _blockify(img8)
+    coeff = _DCT @ (blocks - 128.0) @ _DCT.T
+    q = np.round(coeff / _JQT).astype(np.int32)
+    nby, nbx = q.shape[0], q.shape[1]
+    zz = q.reshape(nby * nbx, 64)[:, _ZZ]
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for blk in zz:
+        dc = int(blk[0])
+        diff = dc - prev_dc
+        prev_dc = dc
+        s = _category(diff)
+        c, ln = _DC_ENC[s]
+        bw.put(c, ln)
+        if s:
+            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(blk[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = _AC_ENC[0xF0]  # ZRL
+                bw.put(c, ln)
+                run -= 16
+            s = _category(v)
+            c, ln = _AC_ENC[(run << 4) | s]
+            bw.put(c, ln)
+            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            c, ln = _AC_ENC[0x00]  # EOB
+            bw.put(c, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qt_zz = _JQT.flatten()[_ZZ].astype(np.uint8).tobytes()
+    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    return b"".join(
+        [
+            b"\xff\xd8",  # SOI
+            seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+            seg(0xFFDB, b"\x00" + qt_zz),  # DQT, 8-bit, table 0
+            seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"),  # SOF0
+            seg(0xFFC4, dht_dc),
+            seg(0xFFC4, dht_ac),
+            seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00"),  # SOS
+            bytes(bw.out),
+            b"\xff\xd9",  # EOI
+        ]
+    )
+
+
+def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.ndarray:
+    """Decode baseline single-component JPEG (the encoder's output and any
+    spec-conforming grayscale baseline stream without restart markers)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (no SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, tuple] = {}
+    ac_tabs: dict[int, tuple] = {}
+    width = height = None
+    comp_qt = comp_dc = comp_ac = 0
+    scan = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported (baseline)")
+                tab = np.zeros(64)
+                tab[_ZZ] = np.frombuffer(payload[p + 1 : p + 65], np.uint8)
+                qts[tq] = tab.reshape(8, 8)
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError(
+                    f"only 8-bit single-component baseline supported "
+                    f"(got precision={prec}, components={ncomp})"
+                )
+            comp_qt = payload[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline JPEG process unsupported")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = (tuple(bits), tuple(vals))
+                p += 17 + n
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows until EOI
+            comp_dc, comp_ac = payload[2] >> 4, payload[2] & 0xF
+            end = data.rfind(b"\xff\xd9")
+            scan = data[pos : end if end > pos else len(data)]
+            break
+    if scan is None or width is None:
+        raise ValueError("truncated JPEG (no SOS/SOF)")
+
+    # unstuff 0xFF00 and expand to a bit array (padded with 1s)
+    body = scan.replace(b"\xff\x00", b"\xff")
+    bits_arr = np.unpackbits(np.frombuffer(body, np.uint8))
+    bits_arr = np.concatenate([bits_arr, np.ones(16, np.uint8)])
+    pow16 = 1 << np.arange(15, -1, -1)
+    dc_sym, dc_len = _huff_lut(dc_tabs[comp_dc])
+    ac_sym, ac_len = _huff_lut(ac_tabs[comp_ac])
+    qt = qts[comp_qt]
+
+    nbx = -(-width // _B)
+    nby = -(-height // _B)
+    zz = np.zeros((nby * nbx, 64), np.int32)
+    p = 0
+    prev_dc = 0
+    nbits_total = len(bits_arr)
+    for bi in range(nby * nbx):
+        if p + 16 > nbits_total:
+            raise ValueError("JPEG entropy stream truncated")
+        peek = int(bits_arr[p : p + 16] @ pow16)
+        s = int(dc_sym[peek])
+        if s < 0:
+            raise ValueError("bad DC Huffman code")
+        p += int(dc_len[peek])
+        if s:
+            v = int(bits_arr[p : p + s] @ pow16[16 - s :])
+            p += s
+            if v < (1 << (s - 1)):
+                v -= (1 << s) - 1
+            prev_dc += v
+        zz[bi, 0] = prev_dc
+        k = 1
+        while k < 64:
+            peek = int(bits_arr[p : p + 16] @ pow16)
+            rs = int(ac_sym[peek])
+            if rs < 0:
+                raise ValueError("bad AC Huffman code")
+            p += int(ac_len[peek])
+            if rs == 0x00:  # EOB
+                break
+            run, s = rs >> 4, rs & 0xF
+            k += run
+            if s == 0:
+                if run != 15:
+                    raise ValueError("bad AC run")
+                k += 1  # ZRL consumed 16 zeros total
+                continue
+            v = int(bits_arr[p : p + s] @ pow16[16 - s :])
+            p += s
+            if v < (1 << (s - 1)):
+                v -= (1 << s) - 1
+            if k > 63:
+                raise ValueError("AC index overflow")
+            zz[bi, k] = v
+            k += 1
+
+    blocks = np.zeros((nby * nbx, 64), np.float64)
+    blocks[:, _ZZ] = zz
+    coeff = blocks.reshape(nby, nbx, 8, 8) * qt
+    pix = _DCT.T @ coeff @ _DCT + 128.0
+    img8 = np.clip(np.round(pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)), 0, 255)
+    return (img8[:height, :width] * 257.0).astype(np.uint16)
+
+
+# ---------------------------------------------------------------------------
 # dispatch (mirrors MAP_FILE_EXTENSION_FORMAT constants.py:76-83 in spirit)
 # ---------------------------------------------------------------------------
 
-ENCODERS = {"raw": encode_raw, "png": encode_png, "lossy": encode_lossy}
-DECODERS = {"raw": decode_raw, "png": decode_png, "lossy": decode_lossy}
+ENCODERS = {"raw": encode_raw, "png": encode_png, "lossy": encode_lossy, "jpeg": encode_jpeg}
+DECODERS = {
+    "raw": decode_raw,
+    "png": decode_png,
+    "lossy": decode_lossy,
+    "jpeg": decode_jpeg,
+    "jpg": decode_jpeg,
+}
 LOSSLESS = {"raw", "png"}
 
 

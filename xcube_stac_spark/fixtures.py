@@ -46,9 +46,10 @@ ANGLE_TIME_RANGE = ("2025-06-01", "2025-06-03")
 ANGLE_BANDS = ["VZA", "VAA"]
 PYR_TIME_RANGE = ("2025-06-01", "2025-06-03")
 PYR_BANDS = ["B02"]
+COMBINED_PYR_BANDS = ["B02", "VZA"]
 PYR_LEVELS = 2
 
-FIXTURE_VERSION = 1
+FIXTURE_VERSION = 3  # v2: jpeg rows; v3: pyramid_combined
 
 #: queries whose oracle is a fixture parquet (name -> parquet file)
 FIXTURE_QUERIES = (
@@ -59,6 +60,7 @@ FIXTURE_QUERIES = (
     "orthorectify",
     "rectify_swath",
     "pyramid",
+    "pyramid_combined",
 )
 
 
@@ -315,21 +317,22 @@ def _halve_canvas(c: np.ndarray) -> np.ndarray:
         return np.nanmean(blocks, axis=(1, 3)).astype(np.float32)
 
 
-def _fx_pyramid(sdir: str, out_dir: str, grid: GridSpec) -> None:
-    """Whole-canvas pyramid: stitch each (day, band)'s oracle tiles onto a
-    NaN canvas padded to tile multiples, nanmean-halve the canvas per level,
-    track tile existence as parent-of-existing-children. Tile sizes are even
-    so canvas 2x2 blocks never straddle engine tile boundaries — the engine's
-    per-tile quadrant assembly computes the identical planes."""
-    ocube = oracle.build_cube_numpy(
-        sdir, grid, time_range=PYR_TIME_RANGE, bands=PYR_BANDS
-    )
+def _pyramid_level_fracs(
+    sdir: str, grid: GridSpec, time_range, bands, levels: int
+) -> dict[tuple[str, int], list[float]]:
+    """Whole-canvas pyramid recomputation: stitch each (day, band)'s oracle
+    tiles onto a NaN canvas padded to tile multiples, nanmean-halve the
+    canvas per level, track tile existence as parent-of-existing-children.
+    Tile sizes are even so canvas 2x2 blocks never straddle engine tile
+    boundaries — the engine's per-tile quadrant assembly computes identical
+    planes. Returns {(band, level): [valid_frac per existing tile]}."""
+    ocube = oracle.build_cube_numpy(sdir, grid, time_range=time_range, bands=bands)
     groups: dict[tuple, dict] = {}
     for (day, band, ty, tx), tile in ocube.tiles.items():
         groups.setdefault((day, band), {})[(ty, tx)] = tile
 
-    per_level: dict[int, list[float]] = {lv: [] for lv in range(PYR_LEVELS + 1)}
-    for tiles_d in groups.values():
+    out: dict[tuple[str, int], list[float]] = {}
+    for (_, band), tiles_d in groups.items():
         g = grid
         canvas = np.full(
             (g.n_tiles_y * g.tile_h, g.n_tiles_x * g.tile_w), np.nan, np.float32
@@ -339,7 +342,7 @@ def _fx_pyramid(sdir: str, out_dir: str, grid: GridSpec) -> None:
             r, c = tile.shape
             canvas[ty * g.tile_h : ty * g.tile_h + r, tx * g.tile_w : tx * g.tile_w + c] = tile
             exist.add((ty, tx))
-        for lv in range(PYR_LEVELS + 1):
+        for lv in range(levels + 1):
             if lv > 0:
                 halved = _halve_canvas(canvas)
                 g = g.coarsen()
@@ -348,23 +351,56 @@ def _fx_pyramid(sdir: str, out_dir: str, grid: GridSpec) -> None:
                     (g.n_tiles_y * g.tile_h, g.n_tiles_x * g.tile_w), np.nan, np.float32
                 )
                 canvas[: halved.shape[0], : halved.shape[1]] = halved
+            fr = out.setdefault((band, lv), [])
             for ty, tx in exist:
                 rs, cs = g.tile_shape(tx, ty)
                 sub = canvas[
                     ty * g.tile_h : ty * g.tile_h + rs, tx * g.tile_w : tx * g.tile_w + cs
                 ]
-                per_level[lv].append(float(np.isfinite(sub).mean()))
+                fr.append(float(np.isfinite(sub).mean()))
+    return out
 
+
+def _avg4(v: list[float]) -> float:
+    return round_half_up(float(np.sum(np.asarray(v, np.float64)) / len(v)), 4)
+
+
+def _fx_pyramid(sdir: str, out_dir: str, grid: GridSpec) -> None:
+    fracs = _pyramid_level_fracs(sdir, grid, PYR_TIME_RANGE, PYR_BANDS, PYR_LEVELS)
+    per_level: dict[int, list[float]] = {}
+    for (_, lv), v in fracs.items():
+        per_level.setdefault(lv, []).extend(v)
     rows = [
-        {
-            "level": lv,
-            "n_tiles": len(v),
-            "avg_valid_frac": round_half_up(float(np.sum(np.asarray(v, np.float64)) / len(v)), 4),
-        }
-        for lv, v in per_level.items()
+        {"level": lv, "n_tiles": len(v), "avg_valid_frac": _avg4(v)}
+        for lv, v in sorted(per_level.items())
         if v
     ]
     _write(out_dir, "pyramid", rows, _PYR_SCHEMA)
+
+
+_PYR_COMBINED_SCHEMA = pa.schema(
+    [
+        ("level", pa.int32()),
+        ("band", pa.string()),
+        ("n_tiles", pa.int64()),
+        ("avg_valid_frac", pa.float64()),
+    ]
+)
+
+
+def _fx_pyramid_combined(sdir: str, out_dir: str, grid: GridSpec) -> None:
+    """CombinedMultiLevelDataset oracle: the combination of the B02 pyramid,
+    the VZA pyramid and a DUPLICATE B02 pyramid equals (per (level, band))
+    the union of the two distinct pyramids — collisions keep the first."""
+    fracs = _pyramid_level_fracs(
+        sdir, grid, PYR_TIME_RANGE, COMBINED_PYR_BANDS, PYR_LEVELS
+    )
+    rows = [
+        {"level": lv, "band": band, "n_tiles": len(v), "avg_valid_frac": _avg4(v)}
+        for (band, lv), v in sorted(fracs.items(), key=lambda kv: (kv[0][1], kv[0][0]))
+        if v
+    ]
+    _write(out_dir, "pyramid_combined", rows, _PYR_COMBINED_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -391,6 +427,7 @@ def ensure_fixtures(sf: str, force: bool = False) -> str:
     _fx_orthorectify(out_dir)
     _fx_rectify_swath(out_dir)
     _fx_pyramid(sdir, out_dir, grid)
+    _fx_pyramid_combined(sdir, out_dir, grid)
     with open(marker, "w") as f:
         f.write(str(FIXTURE_VERSION))
     return out_dir

@@ -3,10 +3,10 @@
 Images/audio/video are opaque ``binary`` columns with typed metadata
 (the mandated images-table shape). Real Spark plumbing — schemas,
 partitioning, Arrow batch shapes — with the engine's own codecs doing real
-decode for ``raw``/``png``/``lossy``; externally-encoded formats (jpeg,
-webp, mp4, ...) are STUBBED behind a clearly-marked NotImplementedError
-because no image/audio library exists in this runtime (the dispatch seam is
-where PIL/ffmpeg decoders would plug in).
+decode for ``raw``/``png``/``lossy``/``jpeg`` (baseline JFIF, pure NumPy);
+formats needing codec libraries absent from this runtime (webp, video,
+audio) are STUBBED behind a clearly-marked NotImplementedError (the
+dispatch seam is where PIL/ffmpeg decoders would plug in).
 
 All pixel work is ``mapInPandas`` over Arrow batches — zero per-row Python
 object churn; batches stream so a 2048² tile batch never materializes the
@@ -27,7 +27,7 @@ from xcube_stac_spark import codecs
 
 #: formats the in-repo codecs decode; everything else raises in _decode_any
 SUPPORTED = set(codecs.DECODERS)
-STUBBED = {"jpeg", "jpg", "webp", "tiff", "wav", "mp3", "mp4", "mkv"}
+STUBBED = {"webp", "tiff", "wav", "mp3", "mp4", "mkv"}
 
 
 def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:

@@ -20,7 +20,7 @@ import warnings
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -94,6 +94,35 @@ def next_level(cube: DataFrame, child_grid: GridSpec) -> DataFrame:
     ).withColumn("ptile_x", (F.col("tile_x") / 2).cast("int"))
     return with_parent.groupBy("solar_day", "band", "ptile_y", "ptile_x").applyInPandas(
         merge, LEVEL_SCHEMA
+    )
+
+
+def combine_pyramids(pyramids: list[DataFrame], on_conflict: str = "first") -> DataFrame:
+    """Compose several pyramids into one multi-level dataset — the
+    ``CombinedMultiLevelDataset`` analogue (reference accessors/base.py:
+    86-100, which wraps N MultiLevelDatasets and merges their variables
+    level by level).
+
+    Disjoint variables (bands) simply union; when the SAME
+    (level, solar_day, band, tile_y, tile_x) key appears in several inputs,
+    the EARLIEST pyramid in the list wins (``on_conflict="first"`` — the
+    reference's first-dataset-precedence merge) or the latest
+    (``"last"`` — update semantics). One window over the combined key, no
+    pixel work."""
+    if on_conflict not in ("first", "last"):
+        raise ValueError(f"on_conflict must be 'first' or 'last', not {on_conflict!r}")
+    tagged = [p.withColumn("__src", F.lit(i)) for i, p in enumerate(pyramids)]
+    allp = tagged[0]
+    for t in tagged[1:]:
+        allp = allp.unionByName(t)
+    order = F.col("__src").asc() if on_conflict == "first" else F.col("__src").desc()
+    w = Window.partitionBy(
+        "level", "solar_day", "band", "tile_y", "tile_x"
+    ).orderBy(order)
+    return (
+        allp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__src", "__rn")
     )
 
 

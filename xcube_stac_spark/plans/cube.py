@@ -117,7 +117,18 @@ def build_cube(
     with_spine: bool = False,
 ) -> DataFrame:
     """The whole flagship pipeline, lazily planned. ``bbox`` defaults to the
-    grid's own extent (the cube is only ever built on the grid)."""
+    grid's own extent (the cube is only ever built on the grid).
+
+    Open params are validated up front (params.validate_open_params — the
+    reference's schema.validate_instance seam, store.py:201-205) so a bad
+    bbox/time/band fails HERE with the parameter named, not five stages into
+    the distributed plan."""
+    from xcube_stac_spark.params import validate_open_params
+
+    validate_open_params(
+        bbox=bbox, time_range=time_range, bands=bands,
+        collections=collections, query=query,
+    )
     if bbox is None:
         bbox = grid.bbox()
     if time_range is None:

@@ -77,6 +77,31 @@ class SceneCatalog:
         cols = ["item_id"] + (include_attrs or [])
         return self.scenes().select(*cols)
 
+    # -- search_data → DatasetDescriptor projection (store.py:219-242) -----
+    def describe_data(self) -> DataFrame:
+        """Per-item descriptor: (data_id, bbox, time_range, crs). Mirrors
+        the reference's DatasetDescriptor fields: time_range is
+        (start_datetime, end_datetime) for interval items, else
+        (datetime, NULL) — store.py:226-235."""
+        s = self.scenes()
+        interval = F.col("start_datetime").isNotNull() & F.col("end_datetime").isNotNull()
+        return s.select(
+            F.col("item_id").alias("data_id"),
+            F.col("bbox_xmin").alias("xmin"),
+            F.col("bbox_ymin").alias("ymin"),
+            F.col("bbox_xmax").alias("xmax"),
+            F.col("bbox_ymax").alias("ymax"),
+            F.when(interval, F.col("start_datetime"))
+            .otherwise(F.col("datetime"))
+            .cast("string")
+            .alias("t_start"),
+            F.when(interval, F.col("end_datetime"))
+            .otherwise(F.lit(None).cast("timestamp"))
+            .cast("string")
+            .alias("t_end"),
+            F.col("proj_code").alias("crs"),
+        )
+
     # -- Iceberg-style physical layout ---------------------------------------
     def materialize_layout(self, dst_root: str) -> "SceneCatalog":
         """Rewrite the catalog into the at-scale physical layout:

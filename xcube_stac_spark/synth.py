@@ -76,7 +76,7 @@ _FMTS = ("raw", "png", "lossy")
 
 #: bump to force regeneration of already-materialized synth dirs when the
 #: generated content changes (checked against the _SUCCESS marker)
-SYNTH_VERSION = 2
+SYNTH_VERSION = 3
 
 ANGLE_GRID_N = 23  # native angle-grid size (reference sen2.py:1031-1032)
 ANGLE_SCALE = 0.01
@@ -231,7 +231,12 @@ def scene_pixels(zone: int, tx: int, ty: int, band_idx: int, day: int, p: SynthP
 
 
 def _fmt_for(zone: int, tx: int, ty: int, day: int, band_idx: int) -> str:
-    return _FMTS[(zone + tx + 2 * ty + day + band_idx) % 3]
+    mix = zone + tx + 2 * ty + day + band_idx
+    # ~1/8 of spectral payloads are baseline JPEG (the dominant real-corpus
+    # format); the rest rotate through raw/png/lossy
+    if mix % 8 == 5:
+        return "jpeg"
+    return _FMTS[mix % 3]
 
 
 def _item_id(zone: int, tx: int, ty: int, day: int, proc: str, second: bool) -> str:
