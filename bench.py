@@ -28,6 +28,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 TIME_RANGE = ("2025-06-01", "2025-06-30")
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+#: target-grid resolution factor for the flagship job: 0.55 oversamples
+#: (byte-heavy — the throughput headline); >=1 makes decode dominate
+#: (CPU-bound — the strong-scaling shape, see run_scaling)
+RES_FACTOR = float(os.environ.get("SPARK_GRAFT_RES_FACTOR", "0.55"))
 
 
 def _cpu_steal() -> list[int]:
@@ -67,7 +71,7 @@ def run_bench() -> dict:
     # bench job must be large enough that the ~5 s of fixed JVM/stage costs
     # don't dominate the scaling measurement — a 100 TB production job is
     # compute-bound, and this keeps the local proxy in the same regime
-    grid = synth.default_grid(sf, tile=128, res_factor=0.55)
+    grid = synth.default_grid(sf, tile=128, res_factor=RES_FACTOR)
     bands = list(synth.PARAMS[sf].bands)
     runs, steals = [], []
     for _ in range(REPEATS):
@@ -80,7 +84,11 @@ def run_bench() -> dict:
     cube_sec = min(runs)
     timings["cube_build"] = round(cube_sec, 3)
 
-    # operator queries (driver-contract entries, at this sf where possible)
+    # operator queries (driver-contract entries, at this sf where possible).
+    # Best-of-N per query: a single in-session timing right after the cube
+    # builds is contention-polluted (r01 recorded 34.1 s for exact_dedup vs
+    # 3.3 s fresh); repeated timings converge on the uncontended cost while
+    # staying ~20x cheaper than a fresh JVM per query.
     qs = entry_mod.queries()
     for name in [
         "scene_search", "dedup_latest", "cell_cover", "spatial_join_region",
@@ -88,9 +96,12 @@ def run_bench() -> dict:
         "exact_dedup", "minhash_near_dup", "ann_topk", "image_stats",
         "events_sessionize",
     ]:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        q_runs = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).count()
+            q_runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(q_runs), 3)
 
     tiles_per_sec = n_tiles / cube_sec if cube_sec > 0 else 0.0
     return {
@@ -103,6 +114,7 @@ def run_bench() -> dict:
         "tiles_per_sec": round(tiles_per_sec, 2),
         "cpus": CPUS,
         "bands": len(bands),
+        "res_factor": RES_FACTOR,
         "cube_runs_sec": [round(r, 3) for r in runs],
         "cpu_steal_pct": steals,
     }

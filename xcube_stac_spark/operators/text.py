@@ -85,41 +85,52 @@ N_BANDS = 4  # 4 rows per band
 
 
 def minhash_signatures(docs: DataFrame, ngram: int = 3) -> DataFrame:
-    """(doc_id, seed, minhash): min over the doc's distinct word-ngrams of
-    h32(seed || '|' || gram). seed ∈ [0, N_HASHES)."""
+    """(doc_id, m0..m{N_HASHES-1}): per-seed minhash columns — min over the
+    doc's distinct word-ngrams of h32(seed || '|' || gram).
+
+    Computed as N_HASHES static min-aggregates over the gram rows (one
+    shuffle on doc_id) instead of exploding every gram ×N_HASHES seeds and
+    re-grouping: the gram table stays 1x, the md5 count is identical (16
+    hashes per gram either way, JVM-side), and the r01-measured 18 s for
+    5k docs drops with the 16x row reduction. Results are bit-identical to
+    the exploded formulation (and to the DuckDB oracle, which still uses
+    the row form — parity proves the equivalence every round)."""
     grams = docs.select(
         "doc_id", F.explode(F.array_distinct(word_ngrams(F.col("text"), ngram))).alias("gram")
     )
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed")
-    return (
-        grams.select("doc_id", "gram", seeds)
-        .withColumn("h", _h32(F.concat_ws("|", F.col("seed").cast("string"), F.col("gram"))))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    aggs = [
+        F.min(
+            _h32(F.concat_ws("|", F.lit(str(seed)), F.col("gram")))
+        ).alias(f"m{seed}")
+        for seed in range(N_HASHES)
+    ]
+    return grams.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_band_buckets(signatures: DataFrame) -> DataFrame:
-    """(doc_id, band, band_sig): md5 over the band's concatenated minhashes
-    in seed order — the LSH bucket key."""
+    """(doc_id, band, band_sig): md5 over the band's minhashes in seed order
+    — the LSH bucket key. Pure column expressions over the wide signature
+    row; the ×N_BANDS explode happens on the tiny signature table, not the
+    gram table."""
     rows_per_band = N_HASHES // N_BANDS
-    return (
-        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("seed"), F.col("minhash")))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
+                F.concat_ws(
                     ",",
+                    *[
+                        F.col(f"m{b * rows_per_band + i}").cast("string")
+                        for i in range(rows_per_band)
+                    ],
                 )
-            ).alias("band_sig")
+            ).alias("band_sig"),
         )
-    )
+        for b in range(N_BANDS)
+    ]
+    return signatures.select(
+        "doc_id", F.explode(F.array(*structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_sig").alias("band_sig"))
 
 
 def minhash_candidates(docs: DataFrame, ngram: int = 3) -> DataFrame:
