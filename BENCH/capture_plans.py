@@ -89,6 +89,43 @@ def main() -> int:
     knn = spatial.knn_scenes(cat.scenes(), 12.0, 49.5, 3)
     checks.append(("knn_scenes (J4)", plan_of(knn), [r"Window", r"HashAggregate"]))
 
+    # 6. banded ANN near-dup: candidates come from an EQUI-join on
+    # (band, key) — a hash join, never a cartesian/nested-loop product
+    import __spark_entry__ as entry_mod
+    from xcube_stac_spark.operators import ann as ann_op
+
+    near = ann_op.near_dup_pairs(
+        entry_mod._aug_emb(spark, "/root/testdata/sf0.01"), threshold=0.9
+    )
+    p6 = plan_of(near)
+    checks.append((
+        "ann.near_dup_pairs (banded LSH equi-join + exact verify)", p6,
+        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) .*\[band|band#"],
+    ))
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p6):
+        checks.append((
+            "ann.near_dup_pairs must not contain a product join", p6,
+            [r"\bNOSUCHTOKEN\b"],
+        ))
+
+    # 7. minhash signatures: ONE aggregation over the gram table, no x16
+    # seed explode (the r01 plan exploded sequence(0, 15) per gram)
+    from xcube_stac_spark.operators import text as text_op
+
+    sig = text_op.minhash_signatures(
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    )
+    p7 = plan_of(sig)
+    checks.append((
+        "text.minhash_signatures (static min-aggs, gram table stays 1x)", p7,
+        [r"HashAggregate", r"min\("],
+    ))
+    if re.search(r"sequence\(0, 15", p7):
+        checks.append((
+            "minhash_signatures must not explode the seed sequence", p7,
+            [r"\bNOSUCHTOKEN\b"],
+        ))
+
     failures = []
     lines = [
         "# Physical-plan audit (generated by BENCH/capture_plans.py)\n",

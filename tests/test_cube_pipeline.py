@@ -120,3 +120,95 @@ def test_empty_region_returns_no_rows(spark, sf0001_dir):
         cat, grid, bbox=[100.0, 10.0, 101.0, 11.0], time_range=TIME_RANGE, bands=BANDS
     )
     assert df.count() == 0
+
+
+def test_categorical_integer_band_never_blends(spark):
+    """SCL-style categorical bands (reference CHANGES 1.2.0: 'mosaicking of
+    integer arrays now works correctly when requesting the Scene
+    Classification Layer'): with scale=1/offset=0, the NN-regrid +
+    take-first path must emit EXACTLY the source class ids — no
+    interpolation, no blending, even where two same-day scenes overlap."""
+    import pandas as pd
+
+    from xcube_stac_spark import codecs, geom
+    from xcube_stac_spark.gridspec import GridSpec
+    from xcube_stac_spark.operators import tiles as tiles_op
+
+    classes = np.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11], np.uint16)
+    rng = np.random.default_rng(3)
+    grid = GridSpec("EPSG:4326", x0=11.9, y0=49.62, res=0.001, width=64,
+                    height=64, tile_w=32, tile_h=32)
+    # scene extent derived from the grid's own UTM projection so it covers it
+    lons = np.array([grid.x0, grid.x1])
+    lats = np.array([grid.y1, grid.y0])
+    e, n = geom.tm_forward(*np.meshgrid(lons, lats), 32, False)
+    x0 = float(e.min()) - 500.0
+    y0 = float(n.max()) + 500.0  # north edge
+
+    rows = []
+    for i, second in enumerate((False, True)):
+        scl = rng.choice(classes[1:], size=(120, 120)).astype(np.uint16)
+        if second:
+            scl[:, :60] = 0  # nodata half — the first scene must win there
+        rows.append(dict(
+            solar_day=__import__("datetime").date(2025, 6, 1),
+            band="SCL", item_id=f"S{i}", t_order=i,
+            bytes=codecs.encode_raw(scl), fmt="raw", w=120, h=120,
+            zone=32, south=False,
+            scene_x0=x0, scene_y0=y0, scene_res=100.0,
+            nodata=0.0, scale=1.0, offset=0.0,
+            bbox_xmin=11.8, bbox_ymin=49.5, bbox_xmax=12.0, bbox_ymax=49.65,
+        ))
+    ddl = ("solar_day date, band string, item_id string, t_order long, "
+           "bytes binary, fmt string, w int, h int, zone int, south boolean, "
+           "scene_x0 double, scene_y0 double, scene_res double, nodata double, "
+           "scale double, offset double, bbox_xmin double, bbox_ymin double, "
+           "bbox_xmax double, bbox_ymax double")
+    df = spark.createDataFrame(pd.DataFrame(rows), ddl)
+    assigned = tiles_op.assign_grid_tiles(df, grid)
+    cube = tiles_op.mosaic_take_first(tiles_op.decode_regrid(assigned, grid)).collect()
+    assert cube
+    seen = set()
+    for r in cube:
+        arr = tiles_op.tile_to_array(bytes(r.data), *grid.tile_shape(r.tile_x, r.tile_y))
+        vals = arr[np.isfinite(arr)]
+        # every output pixel is EXACTLY one of the integer class ids
+        assert np.array_equal(vals, np.round(vals)), "blended class values"
+        seen |= set(np.unique(vals).astype(int).tolist())
+    assert seen <= set(classes.tolist()) - {0}
+    assert len(seen) > 3  # actually sampled a mix of classes
+
+
+def test_decode_regrid_scene_missing_grid_is_empty_not_crash(spark):
+    """Regression: a decode batch whose scenes all MISS the grid must yield
+    an empty result, not an Arrow dtype crash (empty dict-of-lists DataFrame
+    defaulted solar_day to float64 → 'cast double to date32' error)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from xcube_stac_spark import codecs
+    from xcube_stac_spark.gridspec import GridSpec
+    from xcube_stac_spark.operators import tiles as tiles_op
+
+    grid = GridSpec("EPSG:4326", x0=11.9, y0=49.62, res=0.001, width=64,
+                    height=64, tile_w=32, tile_h=32)
+    img = np.full((8, 8), 7, np.uint16)
+    row = dict(
+        solar_day=dt.date(2025, 6, 1), band="B02", item_id="S0", t_order=0,
+        bytes=codecs.encode_raw(img), fmt="raw", w=8, h=8,
+        zone=32, south=False,
+        # far away in UTM: tiles intersect the bbox but no pixel lands inside
+        scene_x0=900_000.0, scene_y0=6_000_000.0, scene_res=100.0,
+        nodata=0.0, scale=1.0, offset=0.0,
+        bbox_xmin=11.8, bbox_ymin=49.5, bbox_xmax=12.0, bbox_ymax=49.65,
+    )
+    ddl = ("solar_day date, band string, item_id string, t_order long, "
+           "bytes binary, fmt string, w int, h int, zone int, south boolean, "
+           "scene_x0 double, scene_y0 double, scene_res double, nodata double, "
+           "scale double, offset double, bbox_xmin double, bbox_ymin double, "
+           "bbox_xmax double, bbox_ymax double")
+    df = spark.createDataFrame(pd.DataFrame([row]), ddl)
+    assigned = tiles_op.assign_grid_tiles(df, grid)
+    out = tiles_op.decode_regrid(assigned, grid)
+    assert out.count() == 0

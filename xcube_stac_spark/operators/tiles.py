@@ -335,7 +335,11 @@ def decode_regrid(
                     rows["scale"].append(float(r.scale))
                     rows["offset"].append(float(r.offset))
                     rows["valid"].append(valid)
-            yield pd.DataFrame(rows)
+            # a batch whose scenes all miss the grid yields NOTHING: an empty
+            # dict-of-lists DataFrame defaults every column to float64 and
+            # Arrow cannot cast an empty double column to date32
+            if rows["item_id"]:
+                yield pd.DataFrame(rows)
 
     return scene_images.select(*_REGRID_IN_COLS).mapInPandas(run, REGRID_SCHEMA)
 
