@@ -427,6 +427,26 @@ def _q_image_stats(spark, sf_dir):
     )
 
 
+def _q_thumbnails(spark, sf_dir):
+    """Multimodal decode + block-mean resize: per-image 16x16 uint16
+    thumbnail, reported as an md5 digest so the full pixel payload is
+    value-checked without hauling binaries through the compare."""
+    imgs = _cat(spark, sf_dir).images()
+    t = mm_op.thumbnails(imgs, tw=fixtures.THUMB_W, th=fixtures.THUMB_H)
+    return t.select("image_id", "tw", "th", F.md5("thumb").alias("thumb_md5"))
+
+
+def _q_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling plumbing: N evenly-spaced 'frames' (rows)
+    per image with their mean values — the exploded per-frame row shape a
+    video sampler produces."""
+    imgs = _cat(spark, sf_dir).images()
+    f = mm_op.frame_sample(imgs, n_frames=fixtures.N_FRAMES)
+    return f.select(
+        "image_id", "frame_idx", F.round("frame_row_mean", 6).alias("frame_row_mean")
+    )
+
+
 def _q_angles_cube(spark, sf_dir):
     """C14/C15: viewing-angle planes (23x23 @ tile-span/23 ≈ 5 km) PARSED
     FROM GRANULE XML (sources/angles.py, reference sen2.py:997-1112:
@@ -625,6 +645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_window": _q_events_window,
         "image_stats": _q_image_stats,
+        "thumbnails": _q_thumbnails,
+        "frame_sample": _q_frame_sample,
         "caption_check": _q_caption_check,
         "time_spine": _q_time_spine,
         "angles_cube": _q_angles_cube,

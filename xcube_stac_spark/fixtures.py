@@ -49,13 +49,18 @@ PYR_BANDS = ["B02"]
 COMBINED_PYR_BANDS = ["B02", "VZA"]
 PYR_LEVELS = 2
 
-FIXTURE_VERSION = 3  # v2: jpeg rows; v3: pyramid_combined
+FIXTURE_VERSION = 4  # v2: jpeg rows; v3: pyramid_combined; v4: thumbs/frames
+
+THUMB_W = THUMB_H = 16
+N_FRAMES = 4
 
 #: queries whose oracle is a fixture parquet (name -> parquet file)
 FIXTURE_QUERIES = (
     "cube_build",
     "angles_cube",
     "image_stats",
+    "thumbnails",
+    "frame_sample",
     "uv_clip",
     "orthorectify",
     "rectify_swath",
@@ -146,9 +151,31 @@ _STATS_SCHEMA = pa.schema(
 )
 
 
+_THUMB_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("tw", pa.int32()),
+        ("th", pa.int32()),
+        ("thumb_md5", pa.string()),
+    ]
+)
+
+_FRAME_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("frame_row_mean", pa.float64()),
+    ]
+)
+
+
 def _fx_image_stats(sdir: str, out_dir: str) -> None:
+    """Single-process decode of every image: stats + pHash verify, plus the
+    thumbnail-digest and frame-sample fixtures (same decode pass)."""
+    import hashlib
+
     images = pq.read_table(os.path.join(sdir, "images.parquet")).to_pandas()
-    rows = []
+    rows, trows, frows = [], [], []
     for r in images.itertuples(index=False):
         img = codecs.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h)).astype(np.float64)
         ph = codecs.phash64(img)
@@ -161,7 +188,34 @@ def _fx_image_stats(sdir: str, out_dir: str) -> None:
                 "phash_hamming": bin(ph ^ int(r.phash)).count("1"),
             }
         )
+        # block-mean thumbnail, identical math to multimodal.thumbnails
+        h, w = img.shape
+        pad_h, pad_w = (-h) % THUMB_H, (-w) % THUMB_W
+        padded = np.pad(img, ((0, pad_h), (0, pad_w)), mode="edge")
+        small = padded.reshape(
+            THUMB_H, padded.shape[0] // THUMB_H, THUMB_W, padded.shape[1] // THUMB_W
+        ).mean(axis=(1, 3))
+        thumb = np.round(small).astype(np.uint16).tobytes()
+        trows.append(
+            {
+                "image_id": r.image_id,
+                "tw": THUMB_W,
+                "th": THUMB_H,
+                "thumb_md5": hashlib.md5(thumb).hexdigest(),
+            }
+        )
+        idxs = np.linspace(0, img.shape[0] - 1, N_FRAMES).astype(int)
+        for k, i in enumerate(idxs):
+            frows.append(
+                {
+                    "image_id": r.image_id,
+                    "frame_idx": k,
+                    "frame_row_mean": round_half_up(float(img[i].mean()), 6),
+                }
+            )
     _write(out_dir, "image_stats", rows, _STATS_SCHEMA)
+    _write(out_dir, "thumbnails", trows, _THUMB_SCHEMA)
+    _write(out_dir, "frame_sample", frows, _FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
