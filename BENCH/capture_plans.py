@@ -100,7 +100,10 @@ def main() -> int:
     p6 = plan_of(near)
     checks.append((
         "ann.near_dup_pairs (banded LSH equi-join + exact verify)", p6,
-        [r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) .*\[band|band#"],
+        [
+            r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+            r"eft keys \[\d+\]: \[band#",  # join keyed on the band column
+        ],
     ))
     if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p6):
         checks.append((

@@ -965,12 +965,30 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE round(i.n_common / (sa.n_grams + sb.n_grams - i.n_common), 6) >= 0.5
 """
+    # mirror of ngram_jaccard_pairs INCLUDING the default document-frequency
+    # bound: pairing and n_common use only grams with df <= the bound, while
+    # sizes (the Jaccard denominators) stay over the FULL gram sets — exactly
+    # the Spark operator's semantics
     out["ngram_jaccard"] = f"""
 WITH {_AUG_CTE.strip()}, {_GRAMS_CTE.strip()},
+rare AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY gram
+  ) WHERE df <= {text_op.DEFAULT_MAX_GRAM_FREQ}
+),
+fgrams AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare r ON r.gram = g.gram),
 cand AS (
   SELECT DISTINCT ga.doc_id AS doc_a, gb.doc_id AS doc_b
-  FROM grams ga JOIN grams gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
-), {_JACCARD_TAIL.strip()}
+  FROM fgrams ga JOIN fgrams gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN fgrams ga ON ga.doc_id = c.doc_a
+  JOIN fgrams gb ON gb.doc_id = c.doc_b AND ga.gram = gb.gram
+  GROUP BY c.doc_a, c.doc_b
+)
 SELECT i.doc_a, i.doc_b, i.n_common,
        round(i.n_common / (sa.n_grams + sb.n_grams - i.n_common), 6) AS jaccard
 FROM inter i

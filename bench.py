@@ -321,6 +321,13 @@ def run_scaling(measure: bool = True) -> None:
 
     strong = summary.get("strong-scaling", {}).get("efficiency")
     tput = summary.get("throughput", {}).get("efficiency")
+    measured = [v for v in (strong, tput) if v is not None]
+    if not measured:
+        print(json.dumps({
+            "error": "no scaling history for the current job shapes / data "
+            "version — run `python bench.py --scaling` to measure",
+        }))
+        return
     kern_section = ""
     if kern:
         cpu_eff = kern["cpu"]["efficiency"]
@@ -365,7 +372,7 @@ running the IDENTICAL flagship pipeline (spatial-join + decode + regrid +
 take-first mosaic cube build, sf={SF_DIR.rstrip('/').rsplit('sf',1)[-1]}) at two parallelism levels in
 fresh JVMs, on two job shapes of the same pipeline.
 
-Headline: **best-shape scaling efficiency = {max(v for v in (strong, tput) if v is not None)}**
+Headline: **best-shape scaling efficiency = {max(measured)}**
 (target >= 0.8; throughput shape {tput}, strong-scaling shape {strong}) —
 equal to the ceiling an EMPTY pure-CPU kernel achieves through the identical
 Spark machinery on this shared-host VM (falsifier section below), i.e. the

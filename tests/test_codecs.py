@@ -161,3 +161,13 @@ def test_jpeg_preserves_nodata_stripes():
     dec = codecs.decode_jpeg(codecs.encode_jpeg(img))
     assert (dec[:20] == 0).all()  # away from the DCT-ringing boundary
     assert (dec[28:] > 3000).all()
+
+
+def test_jpeg_accepts_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker;
+    streams from other encoders use them for alignment."""
+    img = np.full((16, 16), 9000, np.uint16)
+    data = codecs.encode_jpeg(img)
+    sof = data.find(b"\xff\xc0")
+    padded = data[:sof] + b"\xff\xff\xff" + data[sof:]
+    assert np.array_equal(codecs.decode_jpeg(padded), codecs.decode_jpeg(data))

@@ -402,6 +402,9 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # any number of 0xFF fill bytes may precede a marker (T.81 B.1.1.2)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -295,8 +295,12 @@ RECTIFY_GRID = dict(
 
 
 def _fx_orthorectify(out_dir: str) -> None:
-    from xcube_stac_spark.operators.swath import orthorectify_arrays
-
+    """INDEPENDENT parallax recomputation (does not call the engine's
+    operators/swath kernels): ground shift elev*tan(zenith) decomposed by
+    azimuth on the reference's spherical earth R=6370997 m
+    (constants.py:65, correction math sen3.py:631-662)."""
+    deg = math.pi / 180.0
+    m_per_deg = math.pi * 6370997.0 / 180.0
     rows = []
     for s in synth.swath_rows():
         shp = (s["rows"], s["cols"])
@@ -305,7 +309,9 @@ def _fx_orthorectify(out_dir: str) -> None:
         elev = np.frombuffer(s["elev"], np.float64).reshape(shp)
         zen = np.frombuffer(s["zenith"], np.float64).reshape(shp)
         azi = np.frombuffer(s["azimuth"], np.float64).reshape(shp)
-        lon2, lat2 = orthorectify_arrays(lon, lat, elev, zen, azi)
+        shift = elev * np.tan(zen * deg)
+        lat2 = lat + shift * np.cos(azi * deg) / m_per_deg
+        lon2 = lon + shift * np.sin(azi * deg) / m_per_deg / np.cos(lat * deg)
         rows.append(
             {
                 "item_id": s["item_id"],
@@ -319,8 +325,11 @@ def _fx_orthorectify(out_dir: str) -> None:
 
 
 def _fx_rectify_swath(out_dir: str) -> None:
-    from xcube_stac_spark.operators.swath import rectify_plane
-
+    """INDEPENDENT nearest-source rectification (different structure than
+    the engine's sort-descending-then-overwrite kernel): per target cell,
+    a grouped first-match after lexsort on (cell, distance, reverse input
+    order) — same semantics incl. the tie-break (equal distances keep the
+    LATEST input pixel), arrived at by selection instead of overwriting."""
     g = GridSpec(**RECTIFY_GRID)
     rows = []
     for s in synth.swath_rows():
@@ -328,9 +337,23 @@ def _fx_rectify_swath(out_dir: str) -> None:
         lon = np.frombuffer(s["lon"], np.float64).reshape(shp).ravel()
         lat = np.frombuffer(s["lat"], np.float64).reshape(shp).ravel()
         val = np.frombuffer(s["values"], np.float32).reshape(shp).ravel()
-        plane = rectify_plane(lon, lat, val, g)
-        if plane is None:
+        gc = np.floor((lon - g.x0) / g.res).astype(np.int64)
+        gr = np.floor((g.y0 - lat) / g.res).astype(np.int64)
+        ok = (gc >= 0) & (gc < g.width) & (gr >= 0) & (gr < g.height)
+        if not ok.any():
             continue
+        gc, gr, lon_s, lat_s, val_s = gc[ok], gr[ok], lon[ok], lat[ok], val[ok]
+        cx = g.x0 + (gc + 0.5) * g.res
+        cy = g.y0 - (gr + 0.5) * g.res
+        d2 = (lon_s - cx) ** 2 + (lat_s - cy) ** 2
+        flat = gr * g.width + gc
+        order = np.lexsort((-np.arange(len(flat)), d2, flat))
+        fs = flat[order]
+        first = np.ones(len(fs), bool)
+        first[1:] = fs[1:] != fs[:-1]
+        plane = np.full(g.width * g.height, np.nan, np.float32)
+        plane[fs[first]] = val_s[order][first]
+        plane = plane.reshape(g.height, g.width)
         for ty in range(g.n_tiles_y):
             for tx in range(g.n_tiles_x):
                 rs, cs = g.tile_shape(tx, ty)
@@ -464,13 +487,16 @@ def _fx_pyramid_combined(sdir: str, out_dir: str, grid: GridSpec) -> None:
 
 def ensure_fixtures(sf: str, force: bool = False) -> str:
     """Generate (or reuse) the fixture parquet set for one scale factor.
-    Returns the fixtures directory. Cached via a versioned marker file."""
+    Returns the fixtures directory. Cached via a marker keyed on BOTH the
+    fixture version and the synth-data version, so regenerating the
+    synthetic tables invalidates golden answers computed from old data."""
     sdir = synth.generate(sf)
     out_dir = os.path.join(sdir, "fixtures")
     marker = os.path.join(out_dir, "_SUCCESS")
+    stamp = f"{FIXTURE_VERSION}:{synth.SYNTH_VERSION}"
     if not force and os.path.exists(marker):
         with open(marker) as f:
-            if f.read().strip() == str(FIXTURE_VERSION):
+            if f.read().strip() == stamp:
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
     grid = synth.default_grid(sf)
@@ -483,7 +509,7 @@ def ensure_fixtures(sf: str, force: bool = False) -> str:
     _fx_pyramid(sdir, out_dir, grid)
     _fx_pyramid_combined(sdir, out_dir, grid)
     with open(marker, "w") as f:
-        f.write(str(FIXTURE_VERSION))
+        f.write(stamp)
     return out_dir
 
 

@@ -190,8 +190,9 @@ def near_dup_pairs(
 
     Per band a random pair collides with ~2^-bits probability, so the
     candidate join is O(n · occupancy) instead of O(n²); near-dups at
-    cos ≥ 0.9 (θ ≤ 26°, p ≥ 0.86) survive with recall 1-(1-p^bits)^bands
-    (~0.87 at the defaults)."""
+    cos ≥ 0.9 (θ ≤ 26°, p ≥ 0.856) survive with recall 1-(1-p^bits)^bands
+    (≈0.74 at the cos=0.9 boundary with the defaults; ≈0.97 at cos=0.98 —
+    raise ``bands`` for higher boundary recall at linear candidate cost)."""
     e = embeddings.select("vec_id", "embedding")
     bk = hyperplane_bands(e, "vec_id", "embedding", bands, bits, dim)
     a = bk.alias("a")
