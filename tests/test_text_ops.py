@@ -101,3 +101,41 @@ def test_ngram_jaccard_default_bound_is_set():
     sig = inspect.signature(text_op.ngram_jaccard_pairs)
     assert sig.parameters["max_gram_freq"].default == text_op.DEFAULT_MAX_GRAM_FREQ
     assert text_op.DEFAULT_MAX_GRAM_FREQ is not None
+
+
+def test_ngram_oracle_parity_with_hot_grams(spark, tmp_path):
+    """Spark query and DuckDB oracle must agree on a corpus where the
+    default document-frequency bound actually FIRES (a 3-gram shared by
+    more docs than DEFAULT_MAX_GRAM_FREQ) — the r01->r02 review found the
+    oracle missing the bound, latent only because synthetic corpora had
+    max df = 12."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    hot = "the quick brown fox says"
+    n = text_op.DEFAULT_MAX_GRAM_FREQ + 16  # df(hot grams) > bound
+    rows = [(i, f"{hot} unique{i} tail{i} again{i} end{i}") for i in range(n)]
+    # one rare-gram near-dup pair that must survive
+    rows += [(7001, "alpha beta gamma delta epsilon zeta eta"),
+             (7002, "alpha beta gamma delta epsilon zeta theta")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    sdf = entry._q_ngram_jaccard(spark, str(tmp_path)).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    odf = con.sql(entry.oracle_sql()["ngram_jaccard"]).df()
+
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True).astype(s.dtypes.to_dict())
+    pd.testing.assert_frame_equal(s, o, check_exact=True)
+    # and the bound really fired: no pair exists purely through hot grams
+    assert not any(a < 7000 and b < 7000 for a, b in zip(s.doc_a, s.doc_b))
+    assert ((s.doc_a == 7001) & (s.doc_b == 7002)).any()
