@@ -175,6 +175,22 @@ def _tile_index_planes(
     return col, row
 
 
+@lru_cache(maxsize=256)
+def _tile_flat_plane(
+    grid_key: tuple, tile_x: int, tile_y: int, zone: int, south: bool,
+    res: float, rx: float, ry: float, w: int,
+) -> tuple[np.ndarray, int, int, int, int]:
+    """Flattened base index plane row0*w + col0 (int32) plus the col0/row0
+    extrema — the INTERIOR-TILE fast path: when a whole tile falls inside
+    the scene (checked from the cached extrema alone), sampling is a single
+    int32 plane read + scalar shift + gather, skipping the two bounds-plane
+    reads and four comparisons of the general path. Identical indices by
+    construction (flat = (row0+sy)*w + (col0-sx) = flat0 + sy*w - sx)."""
+    col0, row0 = _tile_index_planes(grid_key, tile_x, tile_y, zone, south, res, rx, ry)
+    flat = (row0 * np.int32(w) + col0).astype(np.int32)
+    return flat, int(col0.min()), int(col0.max()), int(row0.min()), int(row0.max())
+
+
 def pixel_residue_shift(origin: float, res: float) -> tuple[float, int]:
     """Split a scene origin into (sub-pixel residue, integer pixel shift):
     origin = residue + shift*res with shift integral. Shared spec between
@@ -182,19 +198,6 @@ def pixel_residue_shift(origin: float, res: float) -> tuple[float, int]:
     shift = int(round(origin / res))
     r = origin - shift * res
     return r, shift
-
-
-def _tile_pixel_indices(
-    grid_key, tile_x, tile_y, zone, south, scene_x0, scene_y0, scene_res
-) -> tuple[np.ndarray, np.ndarray]:
-    rx, sx = pixel_residue_shift(scene_x0, scene_res)
-    ry, sy = pixel_residue_shift(scene_y0, scene_res)
-    col0, row0 = _tile_index_planes(
-        grid_key, tile_x, tile_y, zone, south, float(scene_res), rx, ry
-    )
-    # scene_y0 is the NORTH edge: row = floor((scene_y0 - n)/res)
-    #   = floor((ry - n)/res) + sy ; col = floor((e - rx)/res) - sx
-    return col0 - sx, row0 + sy
 
 
 def _bilinear_sample(
@@ -259,10 +262,29 @@ def _regrid_one(
     stac_extension/raster.py:57-93) happens after the mosaic pick. Returns
     (dn bytes, mask bytes, n_valid) or None when the tile catches no valid
     pixel (empty-clip drop, sen2.py:704-706)."""
-    col, row = _tile_pixel_indices(
-        grid_key, tile_x, tile_y, zone, south, scene_x0, scene_y0, scene_res
-    )
     h, w = img.shape
+    rx, sx = pixel_residue_shift(scene_x0, scene_res)
+    ry, sy = pixel_residue_shift(scene_y0, scene_res)
+    if h * w < 2**31:
+        flat0, cmin, cmax, rmin, rmax = _tile_flat_plane(
+            grid_key, tile_x, tile_y, zone, south, float(scene_res), rx, ry, w
+        )
+        # col = col0 - sx ∈ [0, w) and row = row0 + sy ∈ [0, h) for the
+        # WHOLE tile → no bounds planes needed, one gather
+        if cmin >= sx and cmax <= w - 1 + sx and rmin >= -sy and rmax <= h - 1 - sy:
+            dn = img.ravel()[flat0 + np.int32(sy * w - sx)]
+            valid = dn != nodata
+            n_valid = int(valid.sum())
+            if n_valid == 0:
+                return None
+            dn_z = zlib.compress(dn.tobytes(), 1)
+            mask_z = zlib.compress(np.packbits(valid.ravel()).tobytes(), 1)
+            return dn_z, mask_z, n_valid
+    col0, row0 = _tile_index_planes(
+        grid_key, tile_x, tile_y, zone, south, float(scene_res), rx, ry
+    )
+    col = col0 - sx
+    row = row0 + sy
     inside = (col >= 0) & (col < w) & (row >= 0) & (row < h)
     dn = np.zeros(col.shape, dtype=np.uint16)
     if inside.any():
