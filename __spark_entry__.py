@@ -88,6 +88,20 @@ def _q_scene_search(spark, sf_dir):
     return _searched(spark, sf_dir).select("item_id", "tile_id", "proc_version")
 
 
+def _q_scene_search_filtered(spark, sf_dir):
+    """S4/S6 with the full parameter surface: bbox + time + collections +
+    property query (orbit_state/proc_version), the reference's search_params
+    path (store.py:577-595, query filter utils.py:248-280)."""
+    df = spatial.search_scenes(
+        _cat(spark, sf_dir).scenes(),
+        bbox=REGION,
+        time_range=TIME_RANGE,
+        collections=["syn-l2a"],
+        query={"orbit_state": ["descending"], "proc_version": ["05.00", "05.11"]},
+    )
+    return df.select("item_id", "tile_id", "orbit_state", "proc_version")
+
+
 def _q_solar_day(spark, sf_dir):
     df = spatial.with_solar_day(_searched(spark, sf_dir))
     return df.select(
@@ -615,6 +629,7 @@ def _q_pyramid_combined(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scene_search": _q_scene_search,
+        "scene_search_filtered": _q_scene_search_filtered,
         "solar_day": _q_solar_day,
         "dedup_latest": _q_dedup_latest,
         "cell_cover": _q_cell_cover,
@@ -692,6 +707,15 @@ solar AS (
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
     sqls["scene_search"] = f"WITH {_SEARCH_CTE.strip()} SELECT item_id, tile_id, proc_version FROM searched"
+    x0, y0, x1, y1 = REGION
+    sqls["scene_search_filtered"] = f"""
+WITH {_SEARCH_CTE.strip()}
+SELECT item_id, tile_id, orbit_state, proc_version FROM searched
+WHERE NOT (bbox_xmax < {x0} OR bbox_xmin > {x1} OR bbox_ymax < {y0} OR bbox_ymin > {y1})
+  AND collection = 'syn-l2a'
+  AND orbit_state IN ('descending')
+  AND proc_version IN ('05.00', '05.11')
+"""
     sqls["solar_day"] = (
         f"WITH {_SEARCH_CTE.strip()}, {_SOLAR_CTE.strip()} SELECT item_id, solar_day FROM solar"
     )
