@@ -81,3 +81,44 @@ def test_pip_diamond_property(cx, cy, r, ang, fr):
     # diamond: |x-cx| + |y-cy| < r
     expected = (abs(px - cx) + abs(py - cy)) < r
     assert inside == expected
+
+
+@given(h=st.integers(1, 48), w=st.integers(1, 48), seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_any_shape(h, w, seed):
+    """Baseline JPEG: shape/dtype-preserving decode and deterministic bytes
+    for ANY image shape (incl. 1xN edge cases), bounded error (<=2x the
+    8-bit quantization step on smooth content is not guaranteed for noise,
+    so only structural properties are asserted universally)."""
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(500, 60000)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(base + 300 * np.sin(xx / 5) + 200 * np.cos(yy / 7), 0, 65535).astype(np.uint16)
+    blob = codecs.encode(img, "jpeg")
+    assert blob == codecs.encode(img, "jpeg")  # deterministic
+    out = codecs.decode(blob, "jpeg", w, h)
+    assert out.shape == (h, w) and out.dtype == np.uint16
+    # smooth content: within a few 8-bit quantization steps everywhere
+    assert np.abs(out.astype(np.int64) - img.astype(np.int64)).max() <= 8 * 257
+
+
+@given(
+    mantissa=st.integers(0, 10**10),
+    exp=st.integers(-9, 3),
+    digits=st.integers(0, 7),
+    sign=st.sampled_from([1.0, -1.0]),
+)
+@settings(max_examples=200, deadline=None)
+def test_round_half_up_properties(mantissa, exp, digits, sign):
+    """fixtures.round_half_up: idempotent, sign-symmetric (HALF_UP rounds
+    away from zero), and never further than half an ulp of the target digit
+    from the shortest-repr decimal value."""
+    from decimal import Decimal
+
+    from xcube_stac_spark.fixtures import round_half_up
+
+    x = sign * mantissa * (10.0 ** exp)
+    r = round_half_up(x, digits)
+    assert round_half_up(r, digits) == r
+    assert round_half_up(-x, digits) == -r
+    assert abs(Decimal(repr(x)) - Decimal(repr(r))) <= Decimal(1).scaleb(-digits) / 2
