@@ -171,3 +171,21 @@ def test_jpeg_accepts_fill_bytes_before_markers():
     sof = data.find(b"\xff\xc0")
     padded = data[:sof] + b"\xff\xff\xff" + data[sof:]
     assert np.array_equal(codecs.decode_jpeg(padded), codecs.decode_jpeg(data))
+
+
+def test_jpeg_midblock_truncation_raises_cleanly():
+    """A stream cut mid-entropy-data must raise the explicit truncation
+    error from ANY decode position (block start, AC loop, magnitude read) —
+    never a numpy shape-mismatch ValueError."""
+    import pytest as _pytest
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 65535, size=(48, 48), dtype=np.uint16)
+    data = codecs.encode_jpeg(img)
+    sos = data.find(b"\xff\xda")
+    body_start = sos + 2 + int.from_bytes(data[sos + 2 : sos + 4], "big")
+    for cut in range(body_start + 1, len(data) - 2, 7):
+        with _pytest.raises(ValueError) as ei:
+            codecs.decode_jpeg(data[:cut])
+        assert "truncated" in str(ei.value) or "Huffman" in str(ei.value) or "AC run" in str(ei.value), (
+            cut, str(ei.value))

@@ -212,3 +212,52 @@ def test_decode_regrid_scene_missing_grid_is_empty_not_crash(spark):
     assigned = tiles_op.assign_grid_tiles(df, grid)
     out = tiles_op.decode_regrid(assigned, grid)
     assert out.count() == 0
+
+
+def test_regrid_fast_path_survives_int32_overflowing_shift():
+    """Interior-tile fast path at a REALISTIC UTM origin: northing ~5e6 m and
+    a 10k-px-wide scene make sy*w ~ 5e9 > 2^31. The flat plane and scalar
+    shift wrap mod 2^32 by construction; the gather must neither raise
+    (NumPy >= 2 scalar conversion) nor mis-index. Values are checked against
+    the index spec computed independently in int64."""
+    import zlib
+
+    from xcube_stac_spark import geom
+    from xcube_stac_spark.gridspec import GridSpec
+    from xcube_stac_spark.operators.tiles import (
+        _regrid_one, _tile_utm_coords, pixel_residue_shift,
+    )
+
+    res_deg = 10.0 / 111320.0
+    grid = GridSpec(
+        crs="EPSG:4326", x0=9.0, y0=45.0, res=res_deg,
+        width=32, height=32, tile_w=32, tile_h=32,
+    )
+    gd = grid.to_dict()
+    g_key = tuple(sorted(gd.items()))
+    zone, south = 32, False
+    e, n = _tile_utm_coords(g_key, 0, 0, zone, south)
+    scene_res = 10.0
+    h, w = 200, 10_000
+    # scene origin on the res lattice, covering the tile with margin
+    scene_x0 = np.floor(e.min() / scene_res) * scene_res - 40 * scene_res
+    scene_y0 = np.ceil(n.max() / scene_res) * scene_res + 40 * scene_res
+    sy = int(round(scene_y0 / scene_res))
+    assert sy * w > 2**31, "fixture must exercise the overflow regime"
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(1, 60000, size=(h, w), dtype=np.uint16)
+    out = _regrid_one(
+        img, grid, g_key, 0, 0, zone, south,
+        float(scene_x0), float(scene_y0), scene_res, nodata=0.0,
+    )
+    assert out is not None
+    dn = np.frombuffer(zlib.decompress(out[0]), np.uint16).reshape(e.shape)
+
+    # independent int64 spec: residue decomposition then integer shift
+    rx, sx = pixel_residue_shift(float(scene_x0), scene_res)
+    ry, sy2 = pixel_residue_shift(float(scene_y0), scene_res)
+    col = np.floor((e - np.float32(rx)) / np.float32(scene_res)).astype(np.int64) - sx
+    row = np.floor((np.float32(ry) - n) / np.float32(scene_res)).astype(np.int64) + sy2
+    assert (col >= 0).all() and (col < w).all() and (row >= 0).all() and (row < h).all()
+    np.testing.assert_array_equal(dn, img[row, col])

@@ -25,6 +25,8 @@ def test_validate_accepts_good_params():
         (dict(bbox=(11.0, -95.0, 12.0, 50.0)), r"\[-90, 90\]"),
         (dict(bbox=(11.0, "a", 12.0, 50.0)), "number"),
         (dict(time_range=("2025-06-30", "2025-06-01")), "after end"),
+        # mixed tz-aware start + naive end: ordering error, never a TypeError
+        (dict(time_range=("2025-06-30T00:00:00Z", "2025-06-01 12:00:00")), "after end"),
         (dict(time_range=("not-a-date", "2025-06-01")), "ISO"),
         (dict(time_range=("2025-06-01",)), "items"),
         (dict(bands=[]), "items"),

@@ -474,6 +474,8 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
             raise ValueError("bad DC Huffman code")
         p += int(dc_len[peek])
         if s:
+            if p + s > nbits_total:
+                raise ValueError("JPEG entropy stream truncated")
             v = int(bits_arr[p : p + s] @ pow16[16 - s :])
             p += s
             if v < (1 << (s - 1)):
@@ -482,6 +484,10 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
         zz[bi, 0] = prev_dc
         k = 1
         while k < 64:
+            # a corrupt stream can advance p past the padding mid-block: the
+            # peek below must see a full 16-bit window or fail explicitly
+            if p + 16 > nbits_total:
+                raise ValueError("JPEG entropy stream truncated")
             peek = int(bits_arr[p : p + 16] @ pow16)
             rs = int(ac_sym[peek])
             if rs < 0:
@@ -496,6 +502,8 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
                     raise ValueError("bad AC run")
                 k += 1  # ZRL consumed 16 zeros total
                 continue
+            if p + s > nbits_total:
+                raise ValueError("JPEG entropy stream truncated")
             v = int(bits_arr[p : p + s] @ pow16[16 - s :])
             p += s
             if v < (1 << (s - 1)):

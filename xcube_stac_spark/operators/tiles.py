@@ -187,7 +187,11 @@ def _tile_flat_plane(
     reads and four comparisons of the general path. Identical indices by
     construction (flat = (row0+sy)*w + (col0-sx) = flat0 + sy*w - sx)."""
     col0, row0 = _tile_index_planes(grid_key, tile_x, tile_y, zone, south, res, rx, ry)
-    flat = (row0 * np.int32(w) + col0).astype(np.int32)
+    # row0*w reaches ~5e9 at realistic UTM origins (10 m res, 10k-px scenes):
+    # compute in int64, store wrapped mod 2^32 as int32 — the final gather
+    # index flat0 + shift32 re-wraps to the true in-bounds value, and the
+    # int32 plane keeps the bandwidth-bound kernel's memory traffic halved
+    flat = (row0.astype(np.int64) * np.int64(w) + col0).astype(np.int32)
     return flat, int(col0.min()), int(col0.max()), int(row0.min()), int(row0.max())
 
 
@@ -272,7 +276,12 @@ def _regrid_one(
         # col = col0 - sx ∈ [0, w) and row = row0 + sy ∈ [0, h) for the
         # WHOLE tile → no bounds planes needed, one gather
         if cmin >= sx and cmax <= w - 1 + sx and rmin >= -sy and rmax <= h - 1 - sy:
-            dn = img.ravel()[flat0 + np.int32(sy * w - sx)]
+            # shift may exceed int32 (sy*w ~ 5e9 at UTM northings); wrap it
+            # mod 2^32 explicitly — flat0 is stored wrapped the same way, and
+            # the int32 sum re-wraps to the true index, which the guard above
+            # proves lies in [0, h*w) < 2^31
+            shift32 = (np.int64(sy) * np.int64(w) - np.int64(sx)).astype(np.int32)
+            dn = img.ravel()[flat0 + shift32]
             valid = dn != nodata
             n_valid = int(valid.sum())
             if n_valid == 0:

@@ -118,6 +118,12 @@ def validate_open_params(
     if time_range is not None:
         t0 = _parse_dt(time_range[0], "time_range[0]")
         t1 = _parse_dt(time_range[1], "time_range[1]")
+        # normalize naive endpoints to UTC: a 'Z'-suffixed start mixed with a
+        # naive end must yield the documented ordering error, not a TypeError
+        if t0.tzinfo is None:
+            t0 = t0.replace(tzinfo=dt.timezone.utc)
+        if t1.tzinfo is None:
+            t1 = t1.replace(tzinfo=dt.timezone.utc)
         if t0 > t1:
             _fail("time_range", f"start {time_range[0]!r} after end {time_range[1]!r}")
     if query is not None:

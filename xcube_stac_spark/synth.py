@@ -76,7 +76,7 @@ _FMTS = ("raw", "png", "lossy")
 
 #: bump to force regeneration of already-materialized synth dirs when the
 #: generated content changes (checked against the _SUCCESS marker)
-SYNTH_VERSION = 3
+SYNTH_VERSION = 4  # v4: full-precision (repr) XML geoposition/step values
 
 ANGLE_GRID_N = 23  # native angle-grid size (reference sen2.py:1031-1032)
 ANGLE_SCALE = 0.01
@@ -94,8 +94,8 @@ def _angle_values_xml(plane: np.ndarray, col_step: float, indent: str) -> str:
         for row in plane
     )
     return (
-        f"{indent}<COL_STEP unit=\"m\">{col_step:.3f}</COL_STEP>\n"
-        f"{indent}<ROW_STEP unit=\"m\">{col_step:.3f}</ROW_STEP>\n"
+        f"{indent}<COL_STEP unit=\"m\">{col_step!r}</COL_STEP>\n"
+        f"{indent}<ROW_STEP unit=\"m\">{col_step!r}</ROW_STEP>\n"
         f"{indent}  <Values_List>\n{rows}\n{indent}  </Values_List>"
     )
 
@@ -150,7 +150,7 @@ def granule_xml(
   <n1:Geometric_Info>
     <Tile_Geocoding>
       <HORIZONTAL_CS_CODE>{proj_code}</HORIZONTAL_CS_CODE>
-      <Geoposition><ULX>{ulx:.3f}</ULX><ULY>{uly:.3f}</ULY></Geoposition>
+      <Geoposition><ULX>{ulx!r}</ULX><ULY>{uly!r}</ULY></Geoposition>
     </Tile_Geocoding>
     <Tile_Angles>
 {sun}
