@@ -105,7 +105,7 @@ def test_near_dup_banding_shrinks_candidates_and_keeps_recall(spark, emb_np):
     }
     assert planted, "corpus should plant near-dups above the threshold"
     recall = len(found & planted) / len(planted)
-    assert recall >= 0.6, recall
+    assert recall >= 0.9, recall  # 16x12 banding: >= 0.9 even AT the boundary
     # and every reported pair really clears the exact-cosine threshold
     assert all(
         r.cos_sim >= entry_mod.ANN_NEAR_THRESHOLD
@@ -219,3 +219,72 @@ def test_jpeg_is_supported_not_stubbed(spark):
     # value fidelity is the real check (pHash hamming is noisy on smooth
     # synthetic content whose low-freq DCT coeffs sit near the median)
     assert codecs.psnr(img, dec) >= 40.0
+
+
+def test_near_dup_boundary_recall_meets_target():
+    """SURVEY recall target: the NEAR_BANDS x NEAR_BITS defaults must catch
+    >= 0.9 of pairs planted EXACTLY at the cos = 0.9 threshold, while random
+    pairs collide in < 1% of band sets. Deterministic: md5 planes + seeded
+    vectors; this is the same key spec the Spark exprs and DuckDB oracle
+    evaluate (test_lsh_topk asserts that equivalence)."""
+    rng = np.random.default_rng(42)
+    dim, n = ann_op.EMB_DIM, 2000
+    a = rng.normal(size=(n, dim))
+    a /= np.linalg.norm(a, axis=1, keepdims=True)
+    r = rng.normal(size=(n, dim))
+    perp = r - np.sum(r * a, axis=1, keepdims=True) * a
+    perp /= np.linalg.norm(perp, axis=1, keepdims=True)
+    b = 0.9 * a + np.sqrt(1.0 - 0.81) * perp  # cos(a_i, b_i) = 0.9 exactly
+
+    ka = _np_band_keys(a, ann_op.NEAR_BANDS, ann_op.NEAR_BITS)
+    kb = _np_band_keys(b, ann_op.NEAR_BANDS, ann_op.NEAR_BITS)
+    recall = (ka == kb).all(axis=-1).any(axis=-1).mean() if ka.ndim == 3 else (ka == kb).any(axis=1).mean()
+    assert recall >= 0.9, recall
+    # candidate bound: unrelated pairs (a_i vs b_j, i != j) almost never share
+    # a band key — sample 20k random cross pairs
+    i = rng.integers(0, n, 20000)
+    j = rng.integers(0, n, 20000)
+    keep = i != j
+    collide = (ka[i[keep]] == kb[j[keep]]).any(axis=1).mean()
+    assert collide < 0.01, collide
+
+
+def test_band_layout_probe_prunes_partitions_and_matches_lsh(spark, tmp_path):
+    """At-rest (band, key) layout: probe result == in-memory lsh_topk, and
+    the probe's scan is PARTITION-PRUNED (PartitionFilters on band/key)."""
+    import io
+    from contextlib import redirect_stdout
+
+    emb = entry_mod._emb(spark, SF_DIR)
+    queries = entry_mod._ann_queries_df(spark, SF_DIR)
+    path = str(tmp_path / "emb_layout")
+    ann_op.write_band_layout(emb, path)
+    got = ann_op.probe_band_layout(spark, path, queries, k=entry_mod.ANN_K)
+    exp = ann_op.lsh_topk(emb, queries, k=entry_mod.ANN_K)
+    key = lambda r: (r.query_id, r.rank)
+    g = sorted(((r.query_id, r.rank, r.vec_id, r.cos_sim) for r in got.collect()))
+    e = sorted(((r.query_id, r.rank, r.vec_id, r.cos_sim) for r in exp.collect()))
+    assert g == e and g
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "band" in plan
+    # pruning is real: the scan must NOT read all bands*2^bits directories
+    import re
+
+    m = re.search(r"partitions read: (\d+)", plan)
+    if m:  # formatted plans expose the pruned partition count
+        n_meta = ann_op.read_band_layout_meta(path)
+        assert int(m.group(1)) < n_meta["bands"] * (1 << n_meta["bits"])
+
+
+def test_tiff_is_supported_and_in_corpus(spark):
+    """Uncompressed-strip TIFF is a first-class decode path now: corpus rows
+    carry fmt='tiff' (the synth mix) and image_stats decodes them LOSSLESSLY
+    (phash_hamming == 0, mean exact vs the raw DN plane)."""
+    assert "tiff" in mm_op.SUPPORTED and "tiff" not in mm_op.STUBBED
+    imgs = SceneCatalog(spark, synth.generate("sf0.01")).images()
+    tiff_rows = mm_op.image_stats(imgs.where(F.col("fmt") == "tiff")).collect()
+    assert tiff_rows, "synth corpus must include tiff payloads"
+    assert all(r.phash_hamming == 0 for r in tiff_rows)

@@ -189,3 +189,102 @@ def test_jpeg_midblock_truncation_raises_cleanly():
             codecs.decode_jpeg(data[:cut])
         assert "truncated" in str(ei.value) or "Huffman" in str(ei.value) or "AC run" in str(ei.value), (
             cut, str(ei.value))
+
+
+def _mm_tiff(img: np.ndarray, rows_per_strip: int) -> bytes:
+    """Minimal BIG-ENDIAN single/multi-strip grayscale TIFF for decode tests
+    (the encoder only writes II, so MM coverage needs its own builder)."""
+    import struct
+
+    img = np.ascontiguousarray(img, dtype=">u2")
+    h, w = img.shape
+    strips = [img[r : r + rows_per_strip].tobytes() for r in range(0, h, rows_per_strip)]
+    n = len(strips)
+    offs, cnts, pos = [], [], 8
+    for s in strips:
+        offs.append(pos)
+        cnts.append(len(s))
+        pos += len(s)
+    ifd_off = pos
+    overflow_off = ifd_off + 2 + 9 * 12 + 4
+    ent = lambda t, ty, c, vf: struct.pack(">HHI", t, ty, c) + vf
+    sv = lambda v: struct.pack(">HH", v, 0)
+    lv = lambda v: struct.pack(">I", v)
+    overflow = b""
+    if n == 1:
+        off_f, cnt_f = lv(offs[0]), lv(cnts[0])
+    else:
+        off_f = lv(overflow_off)
+        overflow += struct.pack(f">{n}I", *offs)
+        cnt_f = lv(overflow_off + 4 * n)
+        overflow += struct.pack(f">{n}I", *cnts)
+    entries = [
+        ent(256, 4, 1, lv(w)), ent(257, 4, 1, lv(h)), ent(258, 3, 1, sv(16)),
+        ent(259, 3, 1, sv(1)), ent(262, 3, 1, sv(1)), ent(273, 4, n, off_f),
+        ent(277, 3, 1, sv(1)), ent(278, 4, 1, lv(rows_per_strip)), ent(279, 4, n, cnt_f),
+    ]
+    ifd = struct.pack(">H", 9) + b"".join(entries) + struct.pack(">I", 0)
+    return struct.pack(">2sHI", b"MM", 42, ifd_off) + b"".join(strips) + ifd + overflow
+
+
+def test_tiff_roundtrip_lossless_multistrip():
+    rng = np.random.default_rng(5)
+    for h, w in [(64, 64), (37, 53), (1, 8), (200, 3)]:
+        img = rng.integers(0, 65535, size=(h, w), dtype=np.uint16)
+        data = codecs.encode_tiff(img)
+        out = codecs.decode_tiff(data)
+        np.testing.assert_array_equal(out, img)
+        # explicit multi-strip and single-strip organizations
+        for rps in (1, 5, h):
+            out2 = codecs.decode_tiff(codecs.encode_tiff(img, rows_per_strip=rps))
+            np.testing.assert_array_equal(out2, img)
+
+
+def test_tiff_big_endian_decodes():
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 65535, size=(23, 17), dtype=np.uint16)
+    for rps in (4, 23):
+        np.testing.assert_array_equal(codecs.decode_tiff(_mm_tiff(img, rps)), img)
+
+
+def test_tiff_rejects_unsupported_and_truncated():
+    import pytest as _pytest
+
+    img = np.full((8, 8), 1234, np.uint16)
+    good = codecs.encode_tiff(img)
+    with _pytest.raises(ValueError, match="byte-order"):
+        codecs.decode_tiff(b"XX" + good[2:])
+    with _pytest.raises(ValueError, match="truncated"):
+        codecs.decode_tiff(good[: len(good) // 2])
+    # compression flag != 1 → explicit unsupported error (entry order: tag 259
+    # is the 4th entry; flip its SHORT value to 5=LZW)
+    bad = bytearray(good)
+    import struct
+
+    (ifd_off,) = struct.unpack("<I", good[4:8])
+    e_off = ifd_off + 2 + 3 * 12
+    assert struct.unpack("<H", good[e_off : e_off + 2])[0] == 259
+    bad[e_off + 8 : e_off + 10] = struct.pack("<H", 5)
+    with _pytest.raises(ValueError, match="compressed TIFF not supported"):
+        codecs.decode_tiff(bytes(bad))
+
+
+def test_tiff_8bit_scales_like_jpeg_path():
+    img8 = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    # hand-build an 8-bit II TIFF by patching BitsPerSample and payload
+    import struct
+
+    strips = img8.tobytes()
+    ifd_off = 8 + len(strips)
+    ent = lambda t, ty, c, vf: struct.pack("<HHI", t, ty, c) + vf
+    sv = lambda v: struct.pack("<HH", v, 0)
+    lv = lambda v: struct.pack("<I", v)
+    entries = [
+        ent(256, 4, 1, lv(8)), ent(257, 4, 1, lv(8)), ent(258, 3, 1, sv(8)),
+        ent(259, 3, 1, sv(1)), ent(262, 3, 1, sv(1)), ent(273, 4, 1, lv(8)),
+        ent(277, 3, 1, sv(1)), ent(278, 4, 1, lv(8)), ent(279, 4, 1, lv(len(strips))),
+    ]
+    ifd = struct.pack("<H", 9) + b"".join(entries) + struct.pack("<I", 0)
+    data = struct.pack("<2sHI", b"II", 42, ifd_off) + strips + ifd
+    out = codecs.decode_tiff(data)
+    np.testing.assert_array_equal(out, img8.astype(np.uint16) * 257)

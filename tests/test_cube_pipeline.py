@@ -261,3 +261,35 @@ def test_regrid_fast_path_survives_int32_overflowing_shift():
     row = np.floor((np.float32(ry) - n) / np.float32(scene_res)).astype(np.int64) + sy2
     assert (col >= 0).all() and (col < w).all() and (row >= 0).all() and (row < h).all()
     np.testing.assert_array_equal(dn, img[row, col])
+
+
+def test_error_bands_dropped_unless_requested(spark, sf0001_dir):
+    """F9 (sen3.py:186-190): *_err uncertainty companions are excluded from
+    an all-bands selection, but selectable explicitly by name."""
+    import pyspark.sql.functions as F
+
+    cat = SceneCatalog(spark, sf0001_dir)
+    base_assets = cat.assets()
+
+    class _ErrCat(SceneCatalog):
+        def assets(self):
+            err = base_assets.withColumn(
+                "band", F.concat(F.col("band"), F.lit("_err"))
+            )  # same image_id: the payload join must still resolve
+            return base_assets.unionByName(err)
+
+    ecat = _ErrCat(spark, sf0001_dir)
+    grid = synth.default_grid("sf0.001")
+    scenes = cube_plan.select_scenes(ecat, grid.bbox(), TIME_RANGE)
+
+    all_bands = {
+        r.band for r in cube_plan.scene_images(ecat, scenes).select("band").distinct().collect()
+    }
+    assert all_bands and not any(b.endswith("_err") for b in all_bands)
+
+    asked = {
+        r.band
+        for r in cube_plan.scene_images(ecat, scenes, bands=["B02", "B02_err"])
+        .select("band").distinct().collect()
+    }
+    assert asked == {"B02", "B02_err"}

@@ -134,6 +134,37 @@ def test_knn_scenes(cat):
     assert d == sorted(d)
 
 
+def test_knn_pruning_is_lossless_and_bounded(spark):
+    """Cell-ring pruning: result identical to the brute-force global ranking,
+    AND the ranked candidate set is ring-bounded (no task sees the global
+    tile list) on a world of widely-scattered tiles."""
+    rng = np.random.default_rng(11)
+    lons = rng.uniform(-170.0, 170.0, 400)
+    lats = rng.uniform(-80.0, 80.0, 400)
+    rows = [
+        (f"T{i:04d}", float(lo), float(la), float(lo) + 0.5, float(la) + 0.5)
+        for i, (lo, la) in enumerate(zip(lons, lats))
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "tile_id string, bbox_xmin double, bbox_ymin double, "
+        "bbox_xmax double, bbox_ymax double",
+    )
+    qlon, qlat, k = 12.0, 49.0, 7
+    got = spatial.knn_scenes(df, qlon, qlat, k=k).collect()
+    # independent brute-force expectation
+    cx, cy = lons + 0.25, lats + 0.25
+    d2 = (cx - qlon) ** 2 + (cy - qlat) ** 2
+    order = sorted(range(400), key=lambda i: (d2[i], f"T{i:04d}"))[:k]
+    assert [r.tile_id for r in got] == [f"T{i:04d}" for i in order]
+    assert [r.knn_rank for r in got] == list(range(1, k + 1))
+    np.testing.assert_allclose([r.dist2 for r in got], [d2[i] for i in order])
+    # boundedness: the optimized plan carries the ring filter (candidates
+    # are pruned BEFORE the top-k, not ranked globally)
+    plan = spatial.knn_scenes(df, qlon, qlat, k=k)._jdf.queryExecution().optimizedPlan().toString()
+    assert "greatest(abs(" in plan  # the Chebyshev ring filter, inlined by Catalyst
+
+
 def test_bbox_union_and_lineage(cat):
     bu = spatial.bbox_union(spatial.search_scenes(cat.scenes())).collect()
     assert len(bu) == 18  # 2 zones x 9 tiles

@@ -205,3 +205,116 @@ def test_recompute_time_range_covers_far_lon_solar_days(spark):
     # and the output restriction still limits to the dirty partition
     assert spatial.with_solar_day(found).where(
         F.col("solar_day").isin(dirty)).count() == 1
+
+
+def test_incremental_cube_far_lon_late_arrival(spark, sf0001_dir, tmp_path):
+    """END-TO-END late-arrival completeness at lon ~173° (solar offset
+    +11 h): the whole sf0.001 world translated +162° east (zones 32/33 →
+    59/60 — identical UTM coordinates, TM depends only on lon − central_lon)
+    and +13 h in time, so every overpass sits near UTC MIDNIGHT and every
+    solar day is UTC date + 1 — the regime where the unwidened recompute
+    window dropped scenes. A scene held back until a second micro-batch must
+    appear in the recomputed mosaic partition's lineage, and the converged
+    cube must equal the one-shot batch build."""
+    import glob
+
+    from xcube_stac_spark.gridspec import GridSpec
+    from xcube_stac_spark.operators import spatial
+
+    sc = spark.read.parquet(os.path.join(sf0001_dir, "scenes.parquet"))
+    epsg = F.split("proj_code", ":").getItem(1).cast("int")
+    shifted = (
+        sc.withColumn("bbox_xmin", F.col("bbox_xmin") + 162.0)
+        .withColumn("bbox_xmax", F.col("bbox_xmax") + 162.0)
+        .withColumn(
+            "footprint",
+            F.transform(
+                "footprint",
+                lambda p: F.struct((p["lon"] + 162.0).alias("lon"), p["lat"].alias("lat")),
+            ),
+        )
+        .withColumn("zone", F.col("zone") + 27)
+        .withColumn("proj_code", F.concat(F.lit("EPSG:"), (epsg + 27).cast("string")))
+        .withColumn("datetime", F.col("datetime") + F.expr("INTERVAL 13 HOURS"))
+        .withColumn("start_datetime", F.col("start_datetime") + F.expr("INTERVAL 13 HOURS"))
+        .withColumn("end_datetime", F.col("end_datetime") + F.expr("INTERVAL 13 HOURS"))
+    )
+    root = tmp_path / "cat170"
+    root.mkdir()
+    scenes_dir = root / "scenes"
+    scenes_dir.mkdir()
+    for name in ("images.parquet", "assets.parquet"):
+        shutil.copy(os.path.join(sf0001_dir, name), root / name)
+    g = synth.default_grid("sf0.001")
+    grid = GridSpec(
+        crs=g.crs, x0=g.x0 + 162.0, y0=g.y0, res=g.res,
+        width=g.width, height=g.height, tile_w=g.tile_w, tile_h=g.tile_h,
+    )
+
+    # regime sanity: every dated scene's solar day is UTC date + 1
+    sd = spatial.with_solar_day(shifted.where(F.col("datetime").isNotNull()))
+    assert sd.where(F.to_date("datetime") == F.col("solar_day")).count() == 0
+
+    # hold back one mosaic-contributing scene (a latest-version item of a
+    # multi-item solar day) as the "late arrival near UTC midnight"
+    surv = spatial.dedup_latest_version(
+        spatial.search_scenes(shifted, bbox=grid.bbox())
+    )
+    day_counts = (
+        surv.groupBy("solar_day").agg(F.countDistinct("item_id").alias("n"))
+        .where(F.col("n") >= 2).orderBy("solar_day").collect()
+    )
+    assert day_counts
+    late_day = day_counts[0]["solar_day"]
+    late_item = (
+        surv.where(F.col("solar_day") == F.lit(late_day))
+        .orderBy("item_id").select("item_id").first()[0]
+    )
+    # the late scene really is near UTC midnight
+    late_dt = shifted.where(F.col("item_id") == late_item).select("datetime").first()[0]
+    assert late_dt is None or late_dt.hour >= 22
+
+    def drop(df, name):
+        d = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        src = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        shutil.copy(src, scenes_dir / f"{name}.parquet")
+
+    drop(shifted.where(F.col("item_id") != late_item), "drop-0")
+    out = str(tmp_path / "cube_out")
+    ckpt = str(tmp_path / "ckpt")
+    cat = SceneCatalog(spark, str(root))
+    q = ingest.run_incremental_cube(spark, str(scenes_dir), cat, grid, out, ["B02"], ckpt)
+    q.awaitTermination(180)
+    before = {
+        (str(r.solar_day), r.tile_y, r.tile_x): r.item_ids
+        for r in lineage.read_cube(spark, out)
+        .where(F.col("solar_day") == F.lit(late_day)).collect()
+    }
+    assert before and not any(late_item in v for v in before.values())
+
+    drop(shifted.where(F.col("item_id") == late_item), "drop-1")
+    q2 = ingest.run_incremental_cube(spark, str(scenes_dir), cat, grid, out, ["B02"], ckpt)
+    q2.awaitTermination(180)
+
+    after = {
+        (str(r.solar_day), r.tile_y, r.tile_x): r.item_ids
+        for r in lineage.read_cube(spark, out)
+        .where(F.col("solar_day") == F.lit(late_day)).collect()
+    }
+    assert any(late_item in v for v in after.values()), (
+        "late near-midnight scene missing from the recomputed mosaic lineage"
+    )
+    # converged == one-shot batch over the full far-lon catalog
+    batch_cube = cube_plan.build_cube(
+        cat, grid, time_range=("2025-06-01", "2025-07-02"), bands=["B02"]
+    )
+    got = {
+        (str(r.solar_day), r.band, r.tile_y, r.tile_x): (r.n_scenes, r.item_ids)
+        for r in lineage.read_cube(spark, out).collect()
+    }
+    exp = {
+        (str(r.solar_day), r.band, r.tile_y, r.tile_x): (r.n_scenes, r.item_ids)
+        for r in batch_cube.collect()
+    }
+    assert got == exp

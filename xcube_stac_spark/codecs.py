@@ -522,18 +522,181 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
 
 
 # ---------------------------------------------------------------------------
+# TIFF — baseline grayscale, strip-organized, uncompressed (TIFF 6.0 §3).
+# The reference's primary raster container (GeoTIFF/COG via rioxarray,
+# accessors/sen2.py:158-169; extension map constants.py:76-83). Geo tags are
+# catalog metadata in this engine (scene_x0/y0/res columns), so the pixel
+# codec needs only the baseline bilevel/grayscale subset: II/MM byte order,
+# BitsPerSample 8 or 16, Compression 1, any RowsPerStrip.
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPE = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4)}  # BYTE, SHORT, LONG
+
+
+def encode_tiff(img: np.ndarray, rows_per_strip: int | None = None) -> bytes:
+    """Little-endian uncompressed 16-bit grayscale TIFF, strip-organized
+    (libtiff's ~8 KiB default strip size unless overridden)."""
+    img = np.ascontiguousarray(img, dtype="<u2")
+    h, w = img.shape
+    if rows_per_strip is None:
+        rows_per_strip = max(1, 8192 // max(1, w * 2))
+    rows_per_strip = min(rows_per_strip, h)
+    strips = [
+        img[r : r + rows_per_strip].tobytes()
+        for r in range(0, h, rows_per_strip)
+    ]
+    n_strips = len(strips)
+    data_start = 8
+    offsets, counts = [], []
+    pos = data_start
+    for s in strips:
+        offsets.append(pos)
+        counts.append(len(s))
+        pos += len(s)
+    ifd_off = pos
+
+    def entry(tag: int, typ: int, cnt: int, value_field: bytes) -> bytes:
+        return struct.pack("<HHI", tag, typ, cnt) + value_field
+
+    def short_val(v: int) -> bytes:
+        return struct.pack("<HH", v, 0)
+
+    def long_val(v: int) -> bytes:
+        return struct.pack("<I", v)
+
+    # arrays that don't fit the 4-byte value field go after the IFD
+    n_entries = 9
+    overflow_off = ifd_off + 2 + n_entries * 12 + 4
+    overflow = b""
+    if n_strips == 1:
+        off_field, cnt_field = long_val(offsets[0]), long_val(counts[0])
+        off_typ = cnt_typ = 4
+    else:
+        off_field = long_val(overflow_off)
+        overflow += struct.pack(f"<{n_strips}I", *offsets)
+        cnt_field = long_val(overflow_off + 4 * n_strips)
+        overflow += struct.pack(f"<{n_strips}I", *counts)
+        off_typ = cnt_typ = 4
+    entries = [
+        entry(256, 4, 1, long_val(w)),            # ImageWidth
+        entry(257, 4, 1, long_val(h)),            # ImageLength
+        entry(258, 3, 1, short_val(16)),          # BitsPerSample
+        entry(259, 3, 1, short_val(1)),           # Compression = none
+        entry(262, 3, 1, short_val(1)),           # Photometric = BlackIsZero
+        entry(273, off_typ, n_strips, off_field),  # StripOffsets
+        entry(277, 3, 1, short_val(1)),           # SamplesPerPixel
+        entry(278, 4, 1, long_val(rows_per_strip)),  # RowsPerStrip
+        entry(279, cnt_typ, n_strips, cnt_field),  # StripByteCounts
+    ]
+    ifd = struct.pack("<H", n_entries) + b"".join(entries) + struct.pack("<I", 0)
+    return (
+        struct.pack("<2sHI", b"II", 42, ifd_off)
+        + b"".join(strips)
+        + ifd
+        + overflow
+    )
+
+
+def decode_tiff(data: bytes, w: int | None = None, h: int | None = None) -> np.ndarray:
+    """Baseline grayscale TIFF reader: II/MM, 8/16-bit, uncompressed strips.
+    Returns uint16 (8-bit samples are scaled x257 like the JPEG path)."""
+    if len(data) < 8:
+        raise ValueError("truncated TIFF header")
+    order = data[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    magic, ifd_off = struct.unpack(e + "HI", data[2:8])
+    if magic != 42:
+        raise ValueError("not a TIFF (bad magic)")
+    if ifd_off + 2 > len(data):
+        raise ValueError("truncated TIFF IFD")
+    (n_entries,) = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, tuple] = {}
+    for i in range(n_entries):
+        ent = data[ifd_off + 2 + i * 12 : ifd_off + 14 + i * 12]
+        if len(ent) < 12:
+            raise ValueError("truncated TIFF IFD entry")
+        tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+        if typ not in _TIFF_TYPE:
+            continue  # rational/ascii geo tags etc. — not needed for pixels
+        ch, size = _TIFF_TYPE[typ]
+        total = size * cnt
+        if total <= 4:
+            raw = ent[8 : 8 + total]
+        else:
+            (off,) = struct.unpack(e + "I", ent[8:12])
+            raw = data[off : off + total]
+            if len(raw) < total:
+                raise ValueError("truncated TIFF tag array")
+        tags[tag] = struct.unpack(e + ch * cnt, raw)
+
+    def one(tag: int, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    width, height = one(256), one(257)
+    bits = one(258, (16,))
+    comp = one(259, (1,))
+    spp = one(277, (1,))
+    if comp != 1:
+        raise ValueError(f"compressed TIFF not supported (compression={comp})")
+    if spp != 1:
+        raise ValueError(f"multi-sample TIFF not supported (spp={spp})")
+    if bits not in (8, 16):
+        raise ValueError(f"unsupported BitsPerSample={bits}")
+    rows_per_strip = one(278, (height,))
+    offs = tags.get(273)
+    cnts = tags.get(279)
+    if offs is None or cnts is None or len(offs) != len(cnts):
+        raise ValueError("TIFF missing strip offsets/counts")
+    dtype = np.dtype(e + ("u2" if bits == 16 else "u1"))
+    rows = []
+    remaining = height
+    for off, cnt in zip(offs, cnts):
+        seg = data[off : off + cnt]
+        if len(seg) < cnt:
+            raise ValueError("truncated TIFF strip")
+        n_rows = min(rows_per_strip, remaining)
+        arr = np.frombuffer(seg, dtype, count=n_rows * width).reshape(n_rows, width)
+        rows.append(arr)
+        remaining -= n_rows
+    if remaining != 0:
+        raise ValueError("TIFF strip rows do not cover ImageLength")
+    img = np.vstack(rows)
+    if bits == 8:
+        return (img.astype(np.uint16)) * np.uint16(257)
+    return img.astype(np.uint16)
+
+
+# ---------------------------------------------------------------------------
 # dispatch (mirrors MAP_FILE_EXTENSION_FORMAT constants.py:76-83 in spirit)
 # ---------------------------------------------------------------------------
 
-ENCODERS = {"raw": encode_raw, "png": encode_png, "lossy": encode_lossy, "jpeg": encode_jpeg}
+ENCODERS = {
+    "raw": encode_raw,
+    "png": encode_png,
+    "lossy": encode_lossy,
+    "jpeg": encode_jpeg,
+    "tiff": encode_tiff,
+}
 DECODERS = {
     "raw": decode_raw,
     "png": decode_png,
     "lossy": decode_lossy,
     "jpeg": decode_jpeg,
     "jpg": decode_jpeg,
+    "tiff": decode_tiff,
+    "tif": decode_tiff,
 }
-LOSSLESS = {"raw", "png"}
+LOSSLESS = {"raw", "png", "tiff"}
 
 
 def encode(img: np.ndarray, fmt: str) -> bytes:

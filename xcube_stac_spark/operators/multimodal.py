@@ -27,7 +27,7 @@ from xcube_stac_spark import codecs
 
 #: formats the in-repo codecs decode; everything else raises in _decode_any
 SUPPORTED = set(codecs.DECODERS)
-STUBBED = {"webp", "tiff", "wav", "mp3", "mp4", "mkv"}
+STUBBED = {"webp", "wav", "mp3", "mp4", "mkv"}
 
 
 def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:

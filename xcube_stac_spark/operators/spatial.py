@@ -319,18 +319,48 @@ def dedup_latest_version(scenes: DataFrame) -> DataFrame:
 # J4: kNN scenes/tiles to a point
 # ---------------------------------------------------------------------------
 
-def knn_scenes(scenes: DataFrame, lon: float, lat: float, k: int = 1) -> DataFrame:
+def knn_scenes(
+    scenes: DataFrame,
+    lon: float,
+    lat: float,
+    k: int = 1,
+    level: int = cells_mod.DEFAULT_LEVEL,
+) -> DataFrame:
     """k nearest scene tiles to a query point by squared center distance
     (reference k=1 argmin at sen2.py:483-492). Distinct tiles ranked by
     distance; ties broken by tile_id for determinism.
 
-    At planetary scale the candidate set is first pruned via expanding cell
-    rings (here: direct global ranking — the window is over a deduped
-    tile list, tiny after dedup)."""
+    Scale path (two passes, no global window): pass 1 aggregates a tiny
+    histogram of tile counts per power-of-two CELL RING (Chebyshev distance
+    in level-``level`` cells from the query point's cell) and picks the
+    smallest ring radius r whose cumulative count >= k; every tile inside
+    ring r is within sqrt(2)*(r+1)*cell_size degrees, and every tile OUTSIDE
+    ring R is at least (R)*cell_size away, so candidates pruned to
+    ring <= R = ceil(sqrt(2)*(r+1)) + 1 provably contain the global top-k.
+    Pass 2 ranks only those candidates via a distributed ``orderBy.limit(k)``
+    (TakeOrderedAndProject — per-partition top-k, no single-task window).
+    On a cell-partitioned scenes layout the ring filter partition-prunes, so
+    no task ever sees the global tile list. Result is IDENTICAL to the
+    unpruned ranking (the pruning bound is lossless), which is what the
+    DuckDB oracle checks."""
+    size = cells_mod.cell_size_deg(level)
+    ncols = cells_mod.n_cols(level)
+    nrows = 1 << level
+    qcx = min(max(int((lon + 180.0) // size), 0), ncols - 1)
+    qcy = min(max(int((lat + 90.0) // size), 0), nrows - 1)
     d2 = (
         (X.bbox_center_lon(F.col("bbox_xmin"), F.col("bbox_xmax")) - F.lit(lon)) ** 2
         + (X.bbox_center_lat(F.col("bbox_ymin"), F.col("bbox_ymax")) - F.lit(lat)) ** 2
     )
+    clon = X.bbox_center_lon(F.col("bbox_xmin"), F.col("bbox_xmax"))
+    clat = X.bbox_center_lat(F.col("bbox_ymin"), F.col("bbox_ymax"))
+    ccx = F.least(
+        F.greatest(F.floor((clon + 180.0) / size), F.lit(0)), F.lit(ncols - 1)
+    )
+    ccy = F.least(
+        F.greatest(F.floor((clat + 90.0) / size), F.lit(0)), F.lit(nrows - 1)
+    )
+    ring = F.greatest(F.abs(ccx - F.lit(qcx)), F.abs(ccy - F.lit(qcy)))
     tiles = (
         scenes.groupBy("tile_id")
         .agg(
@@ -340,11 +370,30 @@ def knn_scenes(scenes: DataFrame, lon: float, lat: float, k: int = 1) -> DataFra
             F.max("bbox_ymax").alias("bbox_ymax"),
         )
         .withColumn("dist2", d2)
+        .withColumn("_ring", ring)
     )
+    # pass 1: O(log worldsize)-row histogram — the only driver-side data
+    hist = (
+        tiles.groupBy(
+            F.ceil(F.log2(F.greatest(F.col("_ring"), F.lit(1)))).alias("b")
+        )
+        .count()
+        .collect()
+    )
+    world_r = max(ncols, nrows)
+    r_needed = world_r
+    cum = 0
+    for row in sorted(hist, key=lambda r: r["b"]):
+        cum += row["count"]
+        if cum >= k:
+            r_needed = 1 << int(row["b"])
+            break
+    R = min(world_r, int(np.ceil(np.sqrt(2.0) * (r_needed + 1))) + 1)
+    cand = tiles.where(F.col("_ring") <= R).drop("_ring")
+    # pass 2: distributed top-k, then rank the <= k survivors
+    top = cand.orderBy(F.col("dist2").asc(), F.col("tile_id").asc()).limit(k)
     w = Window.orderBy(F.col("dist2").asc(), F.col("tile_id").asc())
-    return tiles.withColumn("knn_rank", F.row_number().over(w)).where(
-        F.col("knn_rank") <= k
-    )
+    return top.withColumn("knn_rank", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------------------

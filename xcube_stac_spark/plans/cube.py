@@ -52,7 +52,10 @@ def select_scenes(
 
 
 def scene_images(
-    cat: SceneCatalog, scenes: DataFrame, bands: Sequence[str] | None = None
+    cat: SceneCatalog,
+    scenes: DataFrame,
+    bands: Sequence[str] | None = None,
+    drop_error_bands: bool = True,
 ) -> DataFrame:
     """Join the selected scenes to their pixel payloads.
 
@@ -60,10 +63,16 @@ def scene_images(
     unwanted bands are never read; the images join key is image_id —
     at 10^12 scale both sides are bucketed by image_id so this is a
     co-partitioned (shuffle-free) join; locally Catalyst/AQE picks the
-    strategy."""
+    strategy.
+
+    ``drop_error_bands`` (F9, the reference's Sentinel-3 uncertainty-band
+    exclusion, accessors/sen3.py:186-190): when selecting ALL bands, ``*_err``
+    companions are dropped unless explicitly requested by name."""
     assets = cat.assets()
     if bands:
         assets = assets.where(F.col("band").isin(list(bands)))
+    elif drop_error_bands:
+        assets = assets.where(~F.col("band").endswith("_err"))
     # per-ASSET raster metadata wins over scene defaults (the reference's
     # raster extension is per-asset: stac_extension/raster.py:96-115, and
     # band resolutions differ — B02@10m vs VZA@5km)
