@@ -70,6 +70,12 @@ PARAMS = {
     "sf0.001": SynthParams("sf0.001", days=4, ntx=2, nty=2, bands=("B02", "B03"), w=64, h=64, res=1000.0),
     "sf0.01": SynthParams("sf0.01", days=8, ntx=3, nty=3, bands=("B02", "B03", "B04"), w=64, h=64, res=1000.0),
     "sf0.1": SynthParams("sf0.1", days=16, ntx=4, nty=4, bands=("B02", "B03", "B04", "B08"), w=256, h=256, res=250.0),
+    # sf1.0: the 10x scale-headroom shape — same world/scene layout as sf0.1
+    # but 832-px scenes (10.6x the pixels), so 2048-px output tiles (the
+    # reference's native chunk size, constants.py:61) each span multiple
+    # scenes and every scene fans out over multiple tiles. Scene extent stays
+    # w*res = 64 km so footprints/zone geometry match the smaller sfs.
+    "sf1.0": SynthParams("sf1.0", days=16, ntx=4, nty=4, bands=("B02", "B03", "B04", "B08"), w=832, h=832, res=64000.0 / 832),
 }
 
 _FMTS = ("raw", "png", "lossy")
@@ -252,6 +258,15 @@ def _tile_id(zone: int, tx: int, ty: int) -> str:
     return f"T{zone}{chr(ord('A') + tx)}{chr(ord('B') + ty)}"
 
 
+def _encode_spectral(job: tuple) -> tuple[bytes, np.int64]:
+    """Pool worker for one deferred spectral payload: render the seeded DN
+    plane and encode it. Deterministic across processes (the scene_pixels
+    seed hashes an int/bool tuple, which PYTHONHASHSEED does not perturb)."""
+    p, zone, tx, ty, bi, day, second, fmt = job
+    img = scene_pixels(zone, tx, ty, bi, day, p, second)
+    return codecs.encode(img, fmt), np.int64(codecs.phash64(img))
+
+
 def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
     """Generate scenes/images/assets parquet for one scale factor.
 
@@ -272,6 +287,8 @@ def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
     images: list[dict] = []
     assets: list[dict] = []
     xmls: list[dict] = []
+    #: deferred spectral encodes: (images_index, zone, tx, ty, band_idx, day, second, fmt)
+    pending: list[tuple] = []
 
     def add_scene(zone, tx, ty, day, proc, second, *, buggy_bbox=False, wrong_hemi=False, interval=False):
         item_id = _item_id(zone, tx, ty, day, proc, second)
@@ -317,8 +334,11 @@ def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
         # per-asset (band) raster-extension scaling, reference
         # stac_extension/raster.py:96-115 — spectral bands share one set,
         # angle planes another (deg = 0.01*DN - 0.01)
+        # spectral payloads are DEFERRED: the (bi, second) marker is replaced
+        # by pool-encoded bytes after enumeration (encode order == append
+        # order, so output is deterministic regardless of pool scheduling)
         band_imgs = [
-            (band, scene_pixels(zone, tx, ty, bi, day, p, second), _fmt_for(zone, tx, ty, day, bi), p.res, SCALE, OFFSET)
+            (band, (bi, second), _fmt_for(zone, tx, ty, day, bi), p.res, SCALE, OFFSET)
             for bi, band in enumerate(p.bands)
         ]
         e_mid = (x0 + x1) / 2.0
@@ -345,15 +365,23 @@ def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
         )
         for band, img, fmt, res, a_scale, a_offset in band_imgs:
             image_id = f"{item_id}:{band}"
+            if isinstance(img, tuple):
+                bi, sec = img
+                pending.append((len(images), zone, tx, ty, bi, day, sec, fmt))
+                payload, ph, iw, ih = None, None, p.w, p.h
+            else:
+                payload = codecs.encode(img, fmt)
+                ph = np.int64(codecs.phash64(img))
+                iw, ih = img.shape[1], img.shape[0]
             images.append(
                 dict(
                     image_id=image_id,
-                    bytes=codecs.encode(img, fmt),
-                    w=np.int32(img.shape[1]),
-                    h=np.int32(img.shape[0]),
+                    bytes=payload,
+                    w=np.int32(iw),
+                    h=np.int32(ih),
                     fmt=fmt,
                     caption=f"scene {item_id} band {band} day {d.isoformat()} tile {_tile_id(zone, tx, ty)}",
-                    phash=np.int64(codecs.phash64(img)),
+                    phash=ph,
                 )
             )
             assets.append(
@@ -379,6 +407,22 @@ def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
                         add_scene(zone, tx, ty, day, "05.00", True)
     # antimeridian-buggy item (bbox width >= 20 deg) — one per dataset
     add_scene(ZONES[0], 0, 0, 0, "05.00", False, buggy_bbox=True)
+
+    # fill in the deferred spectral payloads; at large sfs the pure-Python
+    # lossy/jpeg encoders dominate generation, so fan the (independent,
+    # seed-deterministic) encodes over a process pool. ex.map preserves job
+    # order, so the parquet content is identical to the serial path.
+    jobs = [(p, z, jtx, jty, bi, day, sec, fmt) for (_i, z, jtx, jty, bi, day, sec, fmt) in pending]
+    if len(jobs) > 256 and (os.cpu_count() or 1) > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=min(32, os.cpu_count() or 1)) as ex:
+            results = list(ex.map(_encode_spectral, jobs, chunksize=8))
+    else:
+        results = [_encode_spectral(j) for j in jobs]
+    for (idx, *_), (payload, ph) in zip(pending, results):
+        images[idx]["bytes"] = payload
+        images[idx]["phash"] = ph
 
     scenes_schema = pa.schema(
         [
