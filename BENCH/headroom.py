@@ -1,0 +1,240 @@
+#!/usr/bin/env python
+"""10x scale-headroom evidence (north rule / VERDICT r2 item 1).
+
+Two claims, measured:
+
+1. THROUGHPUT HOLDS AT 10x: the flagship spatial-join + decode + regrid +
+   take-first build runs at sf1.0 (10.6x the sf0.1 pixel volume, 832-px
+   scenes) with the reference's NATIVE 2048-px tiles (constants.py:61), and
+   its per-pixel throughput stays within ~25% of the sf0.1/128-px rate
+   measured in the same window. Raw tiles/sec is not comparable across tile
+   sizes (a 2048-px tile is 256x a 128-px tile), so the normalized number is
+   128-px-EQUIVALENT tiles/sec = output px/sec ÷ 128².
+
+2. KILL/RESUME THROUGH THE COMMIT LOG: a per-day checkpointed job
+   (jobs/build_cube_job.py --per-day) SIGKILLed mid-run resumes with zero
+   recomputation of committed days (the resume run's own log proves which
+   days were skipped vs built) and converges to a cube BIT-IDENTICAL to an
+   uninterrupted single-call build.
+
+Writes BENCH/headroom.json. Run:  python BENCH/headroom.py [--skip-kill]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TIME_RANGE = ("2025-06-01", "2025-06-30")
+BANDS = ["B02", "B03", "B04", "B08"]
+RES_FACTOR = 0.55  # bench.py's flagship grid oversampling
+
+
+def _cpu_steal() -> list[int]:
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:]))
+
+
+def _steal_pct(a: list[int], b: list[int]) -> float:
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d)
+    return round(100.0 * d[7] / tot, 1) if tot and len(d) > 7 else 0.0
+
+
+def measure_throughput(spark, sf: str, tile: int, repeats: int) -> dict:
+    """Timed flagship count (bench.py convention) + untimed px accounting."""
+    from pyspark.sql import functions as F
+
+    from xcube_stac_spark import synth
+    from xcube_stac_spark.plans import cube as cube_plan
+    from xcube_stac_spark.sources.catalog import SceneCatalog
+
+    sdir = synth.generate(sf)
+    cat = SceneCatalog(spark, sdir)
+    grid = synth.default_grid(sf, tile=tile, res_factor=RES_FACTOR)
+    runs, steals = [], []
+    n_tiles = 0
+    for _ in range(repeats):
+        s0 = _cpu_steal()
+        t0 = time.perf_counter()
+        cube = cube_plan.build_cube(cat, grid, time_range=TIME_RANGE, bands=BANDS)
+        n_tiles = cube.count()
+        runs.append(time.perf_counter() - t0)
+        steals.append(_steal_pct(s0, _cpu_steal()))
+    # output pixels (data = float32 plane): not timed, pure accounting
+    cube = cube_plan.build_cube(cat, grid, time_range=TIME_RANGE, bands=BANDS)
+    out_px = cube.agg(F.sum(F.octet_length("data") / 4)).collect()[0][0]
+    best = min(runs)
+    return {
+        "sf": sf,
+        "tile_px": tile,
+        "n_tiles": n_tiles,
+        "out_px": int(out_px),
+        "runs_sec": [round(r, 3) for r in runs],
+        "cpu_steal_pct": steals,
+        "best_sec": round(best, 3),
+        "tiles_per_sec": round(n_tiles / best, 2),
+        "px_per_sec": round(out_px / best, 0),
+        "eq128_tiles_per_sec": round(out_px / best / (128 * 128), 2),
+    }
+
+
+def _job_args(sf_dir: str, out: str, tile: int) -> list[str]:
+    from xcube_stac_spark import synth
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    grid = synth.default_grid(sf, tile=tile, res_factor=RES_FACTOR)
+    x1 = grid.x0 + grid.res * grid.width
+    y0 = grid.y0 - grid.res * grid.height
+    return [
+        "--catalog", sf_dir, "--out", out,
+        "--bbox", repr(grid.x0), repr(y0), repr(x1), repr(grid.y0),
+        "--time-range", *TIME_RANGE, "--bands", *BANDS,
+        "--grid-res", repr(grid.res), "--tile", str(tile),
+    ]
+
+
+def _spawn_job(args: list[str], log_path: str) -> subprocess.Popen:
+    env = dict(os.environ, PYTHONPATH=REPO)
+    logf = open(log_path, "w")
+    return subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "jobs", "build_cube_job.py"), *args],
+        cwd=REPO, env=env, stdout=logf, stderr=subprocess.STDOUT,
+        start_new_session=True,  # killpg must reach the JVM child too
+    )
+
+
+def _commits(out: str) -> set[str]:
+    d = os.path.join(out, "_commitlog")
+    if not os.path.isdir(d):
+        return set()
+    return {f for f in os.listdir(d) if f.startswith("commit-") and f.endswith(".parquet")}
+
+
+def kill_resume_demo(spark, sf_dir: str, tile: int, kill_after: int, workdir: str) -> dict:
+    """SIGKILL a per-day job after `kill_after` commits; resume; verify."""
+    from pyspark.sql import functions as F
+
+    from xcube_stac_spark import lineage
+
+    os.makedirs(workdir, exist_ok=True)
+    ref_out = os.path.join(workdir, "cube_ref")
+    kill_out = os.path.join(workdir, "cube_killed")
+    base = _job_args(sf_dir, kill_out, tile) + ["--per-day", "--resume"]
+
+    # 1) clean single-call reference build (different write path on purpose)
+    t0 = time.perf_counter()
+    p = _spawn_job(_job_args(sf_dir, ref_out, tile) + ["--resume"], os.path.join(workdir, "ref.log"))
+    if p.wait() != 0:
+        raise RuntimeError("reference job failed — see ref.log")
+    ref_write_sec = time.perf_counter() - t0
+
+    # 2) per-day job, SIGKILLed once `kill_after` day commits exist
+    p = _spawn_job(base, os.path.join(workdir, "killed.log"))
+    killed_at = None
+    while p.poll() is None:
+        if len(_commits(kill_out)) >= kill_after:
+            os.killpg(p.pid, signal.SIGKILL)
+            killed_at = len(_commits(kill_out))
+            break
+        time.sleep(0.5)
+    p.wait()
+    if killed_at is None:
+        raise RuntimeError("job finished before the kill threshold — lower --kill-after")
+    committed_days = {
+        str(r[0])
+        for r in lineage.committed_partitions(spark, kill_out).select("solar_day").distinct().collect()
+    }
+
+    # 3) resume — must skip every committed day and build the rest
+    p = _spawn_job(base, os.path.join(workdir, "resume.log"))
+    if p.wait() != 0:
+        raise RuntimeError("resume job failed — see resume.log")
+    with open(os.path.join(workdir, "resume.log")) as f:
+        lines = [json.loads(ln) for ln in f if ln.startswith("{")]
+    skipped = {ln["day"] for ln in lines if ln.get("skipped")}
+    rebuilt = {ln["day"] for ln in lines if "day" in ln and "written_partitions" in ln}
+    assert skipped == committed_days, (skipped, committed_days)
+    assert not (rebuilt & committed_days), "resume recomputed a committed day"
+
+    # 4) bit-identical final cube vs the uninterrupted single-call build
+    def digest(path):
+        return (
+            lineage.read_cube(spark, path)
+            .select(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("solar_day").cast("string"), "band",
+                        F.col("tile_y").cast("string"), F.col("tile_x").cast("string"),
+                        F.md5("data"), "item_ids",
+                    )
+                ).alias("h")
+            )
+            .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list("h")))).alias("d"))
+            .collect()[0][0]
+        )
+
+    d_ref, d_kill = digest(ref_out), digest(kill_out)
+    assert d_ref == d_kill, f"cube digests differ: {d_ref} vs {d_kill}"
+    return {
+        "tile_px": tile,
+        "days_committed_at_kill": sorted(committed_days),
+        "commits_at_kill": killed_at,
+        "resume_skipped_days": sorted(skipped),
+        "resume_rebuilt_days": sorted(rebuilt),
+        "recomputed_committed_days": 0,
+        "cube_digest_ref": d_ref,
+        "cube_digest_resumed": d_kill,
+        "bit_identical": True,
+        "ref_single_call_write_sec": round(ref_write_sec, 3),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--kill-after", type=int, default=5, help="day commits before SIGKILL")
+    ap.add_argument("--skip-kill", action="store_true")
+    ap.add_argument("--workdir", default="/tmp/xss_headroom")
+    args = ap.parse_args()
+
+    from xcube_stac_spark import synth
+    from xcube_stac_spark.session import get_spark
+
+    sf1_dir = synth.generate("sf1.0")
+    spark = get_spark("xss-headroom", master=f"local[{args.cpus}]")
+
+    result: dict = {"cpus": args.cpus, "res_factor": RES_FACTOR, "bands": BANDS}
+    print("== sf0.1 / 128-px tiles (same-window baseline) ==", flush=True)
+    result["sf0_1"] = measure_throughput(spark, "sf0.1", 128, args.repeats)
+    print(json.dumps(result["sf0_1"]), flush=True)
+    print("== sf1.0 / 2048-px tiles (10.6x pixels, reference-native tile) ==", flush=True)
+    result["sf1_0"] = measure_throughput(spark, "sf1.0", 2048, args.repeats)
+    print(json.dumps(result["sf1_0"]), flush=True)
+    ratio = result["sf1_0"]["eq128_tiles_per_sec"] / result["sf0_1"]["eq128_tiles_per_sec"]
+    result["eq128_rate_ratio_sf1_vs_sf01"] = round(ratio, 3)
+    result["within_25pct"] = bool(ratio >= 0.75)
+
+    if not args.skip_kill:
+        print("== kill/resume through the commit log (sf1.0, per-day job) ==", flush=True)
+        result["kill_resume"] = kill_resume_demo(spark, sf1_dir, 2048, args.kill_after, args.workdir)
+        print(json.dumps(result["kill_resume"]), flush=True)
+
+    out = os.path.join(REPO, "BENCH", "headroom.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+    print("wrote", out, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

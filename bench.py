@@ -118,7 +118,28 @@ def run_bench() -> dict:
         "data_version": synth.SYNTH_VERSION,
         "cube_runs_sec": [round(r, 3) for r in runs],
         "cpu_steal_pct": steals,
+        **_headroom_summary(),
     }
+
+
+def _headroom_summary() -> dict:
+    """Fold the latest 10x scale-headroom evidence (BENCH/headroom.py: sf1.0
+    with 2048-px reference-native tiles + SIGKILL/resume through the commit
+    log) into the bench line, so the per-round record carries it."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "headroom.json")
+    if not os.path.exists(p):
+        return {}
+    try:
+        with open(p) as f:
+            h = json.load(f)
+        return {
+            "headroom_sf1_eq128_tiles_per_sec": h["sf1_0"]["eq128_tiles_per_sec"],
+            "headroom_sf01_eq128_tiles_per_sec": h["sf0_1"]["eq128_tiles_per_sec"],
+            "headroom_rate_ratio": h["eq128_rate_ratio_sf1_vs_sf01"],
+            "headroom_kill_resume_bit_identical": h.get("kill_resume", {}).get("bit_identical"),
+        }
+    except (KeyError, ValueError):
+        return {}
 
 
 def _env_roofline() -> dict:

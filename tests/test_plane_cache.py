@@ -1,0 +1,78 @@
+"""Byte-budget plane cache: eviction accounting + relative-plane exactness.
+
+The regrid kernel's per-worker cache is keyed on BYTES (tiles.py
+_ByteBudgetCache) because index planes scale with tile area; these tests
+pin the budget/eviction contract and that the uint16-relative plane
+representation reconstructs the exact absolute indices of the spec
+(floor((e - rx)/res) in float32 — the NumPy-oracle-shared decomposition).
+"""
+
+import numpy as np
+import pytest
+
+from xcube_stac_spark.gridspec import GridSpec
+from xcube_stac_spark.operators import tiles
+
+
+def test_byte_budget_evicts_lru(monkeypatch):
+    monkeypatch.setenv("XSS_PLANE_CACHE_MB", "1")  # 1 MiB budget
+    c = tiles._ByteBudgetCache()
+    mk = lambda: (np.zeros(300_000, np.uint8), np.zeros(100_000, np.uint8), 1, 2)
+
+    built = []
+
+    def build(tag):
+        def _b():
+            built.append(tag)
+            return mk()
+        return _b
+
+    c.get_or_build(("a",), build("a"))
+    c.get_or_build(("b",), build("b"))
+    c.get_or_build(("a",), build("a2"))  # hit — no rebuild
+    assert built == ["a", "b"]
+    # third 400 KB entry exceeds the 1 MiB budget → LRU ("b") evicted
+    c.get_or_build(("c",), build("c"))
+    assert c._bytes <= 1 << 20
+    c.get_or_build(("b",), build("b2"))  # was evicted → rebuilt
+    assert built == ["a", "b", "c", "b2"]
+
+
+def test_oversized_entry_not_cached(monkeypatch):
+    monkeypatch.setenv("XSS_PLANE_CACHE_MB", "1")
+    c = tiles._ByteBudgetCache()
+    big = lambda: (np.zeros(2 << 20, np.uint8),)
+    c.get_or_build(("big",), big)
+    assert c._bytes == 0 and not c._d  # computed but never admitted
+
+
+def test_relative_planes_reconstruct_absolute_indices():
+    grid = GridSpec(
+        crs="EPSG:4326", x0=11.8, y0=50.0, res=0.002,
+        width=96, height=96, tile_w=32, tile_h=32,
+    )
+    gd = grid.to_dict()
+    g_key = tuple(sorted(gd.items()))
+    res, rx, ry = 250.0, 0.0, 0.0
+    col_rel, row_rel, cbase, rbase, cmax, rmax = tiles._tile_index_planes(
+        g_key, 1, 1, 32, False, res, rx, ry
+    )
+    assert col_rel.dtype == np.uint16 and row_rel.dtype == np.uint16
+    # spec: floor of the float32 mesh division, computed independently here
+    e, n = tiles._tile_utm_coords(g_key, 1, 1, 32, False)
+    col_abs = np.floor((e - np.float32(rx)) / np.float32(res)).astype(np.int64)
+    row_abs = np.floor((np.float32(ry) - n) / np.float32(res)).astype(np.int64)
+    np.testing.assert_array_equal(col_rel.astype(np.int64) + cbase, col_abs)
+    np.testing.assert_array_equal(row_rel.astype(np.int64) + rbase, row_abs)
+    assert (cmax, rmax) == (int(col_abs.max()), int(row_abs.max()))
+
+
+def test_oversized_tile_span_raises():
+    # 1 grid cell ≈ 111 m; res=0.001 m ⇒ one 64-px tile spans ~7e6 scene px
+    grid = GridSpec(
+        crs="EPSG:4326", x0=11.8, y0=50.0, res=0.002,
+        width=64, height=64, tile_w=64, tile_h=64,
+    )
+    g_key = tuple(sorted(grid.to_dict().items()))
+    with pytest.raises(ValueError, match="uint16 relative-plane"):
+        tiles._tile_index_planes(g_key, 0, 0, 32, False, 0.001, 0.0, 0.0)
