@@ -204,6 +204,8 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--kill-after", type=int, default=5, help="day commits before SIGKILL")
     ap.add_argument("--skip-kill", action="store_true")
+    ap.add_argument("--skip-throughput", action="store_true",
+                    help="kill/resume demo only; throughput rows carried over from the last headroom.json")
     ap.add_argument("--workdir", default="/tmp/xss_headroom")
     args = ap.parse_args()
 
@@ -214,22 +216,34 @@ def main() -> int:
     spark = get_spark("xss-headroom", master=f"local[{args.cpus}]")
 
     result: dict = {"cpus": args.cpus, "res_factor": RES_FACTOR, "bands": BANDS}
-    print("== sf0.1 / 128-px tiles (same-window baseline) ==", flush=True)
-    result["sf0_1"] = measure_throughput(spark, "sf0.1", 128, args.repeats)
-    print(json.dumps(result["sf0_1"]), flush=True)
-    print("== sf1.0 / 2048-px tiles (10.6x pixels, reference-native tile) ==", flush=True)
-    result["sf1_0"] = measure_throughput(spark, "sf1.0", 2048, args.repeats)
-    print(json.dumps(result["sf1_0"]), flush=True)
-    ratio = result["sf1_0"]["eq128_tiles_per_sec"] / result["sf0_1"]["eq128_tiles_per_sec"]
-    result["eq128_rate_ratio_sf1_vs_sf01"] = round(ratio, 3)
-    result["within_25pct"] = bool(ratio >= 0.75)
+    prev_path = os.path.join(REPO, "BENCH", "headroom.json")
+    if args.skip_throughput:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        for k in ("sf0_1", "sf1_0", "eq128_rate_ratio_sf1_vs_sf01", "within_25pct"):
+            result[k] = prev[k]
+    else:
+        print("== sf0.1 / 128-px tiles (same-window baseline) ==", flush=True)
+        result["sf0_1"] = measure_throughput(spark, "sf0.1", 128, args.repeats)
+        print(json.dumps(result["sf0_1"]), flush=True)
+        print("== sf1.0 / 2048-px tiles (10.6x pixels, reference-native tile) ==", flush=True)
+        result["sf1_0"] = measure_throughput(spark, "sf1.0", 2048, args.repeats)
+        print(json.dumps(result["sf1_0"]), flush=True)
+        ratio = result["sf1_0"]["eq128_tiles_per_sec"] / result["sf0_1"]["eq128_tiles_per_sec"]
+        result["eq128_rate_ratio_sf1_vs_sf01"] = round(ratio, 3)
+        result["within_25pct"] = bool(ratio >= 0.75)
 
+    out = os.path.join(REPO, "BENCH", "headroom.json")
     if not args.skip_kill:
         print("== kill/resume through the commit log (sf1.0, per-day job) ==", flush=True)
         result["kill_resume"] = kill_resume_demo(spark, sf1_dir, 2048, args.kill_after, args.workdir)
         print(json.dumps(result["kill_resume"]), flush=True)
-
-    out = os.path.join(REPO, "BENCH", "headroom.json")
+    elif os.path.exists(out):
+        # throughput-only refresh: carry the last kill/resume evidence over
+        with open(out) as f:
+            prev = json.load(f).get("kill_resume")
+        if prev:
+            result["kill_resume"] = prev
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
     print("wrote", out, flush=True)

@@ -295,6 +295,45 @@ print(json.dumps({{"sec": best}}))
     return out
 
 
+def _headroom_section() -> str:
+    """BASELINE.md block for the 10x scale-headroom evidence, from
+    BENCH/headroom.json (written by BENCH/headroom.py)."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "headroom.json")
+    if not os.path.exists(p):
+        return ""
+    with open(p) as f:
+        h = json.load(f)
+    s0, s1 = h["sf0_1"], h["sf1_0"]
+    kr = h.get("kill_resume", {})
+    kr_line = ""
+    if kr:
+        kr_line = (
+            f"\nKill/resume through the commit log (per-day checkpointed job, "
+            f"SIGKILL after {kr['commits_at_kill']} day-commits): the resume run "
+            f"skipped all {len(kr['resume_skipped_days'])} committed days, rebuilt "
+            f"{len(kr['resume_rebuilt_days'])}, recomputed {kr['recomputed_committed_days']} "
+            f"committed partitions, and the final cube is BIT-IDENTICAL to an "
+            f"uninterrupted single-call build (digest "
+            f"`{kr['cube_digest_ref'][:12]}…` both sides).\n"
+        )
+    return f"""## 10x scale headroom: sf1.0 with reference-native 2048-px tiles
+
+Same flagship pipeline, 10.6x the pixel volume (832-px scenes), tile size
+2048 (the reference's native chunk, constants.py:61), measured in the same
+window as a fresh sf0.1 baseline. Raw tiles/sec is incomparable across tile
+sizes, so rates are normalized to 128-px-EQUIVALENT tiles/sec
+(= output px/sec ÷ 128²):
+
+| shape | output tiles | output px | best sec | eq-128 tiles/sec |
+|---|---|---|---|---|
+| sf0.1 / 128-px tiles | {s0['n_tiles']} | {s0['out_px']:.2e} | {s0['best_sec']} | {s0['eq128_tiles_per_sec']} |
+| sf1.0 / 2048-px tiles | {s1['n_tiles']} | {s1['out_px']:.2e} | {s1['best_sec']} | {s1['eq128_tiles_per_sec']} |
+
+**Per-pixel rate at 10.6x data = {h['eq128_rate_ratio_sf1_vs_sf01']:.2f}x the sf0.1 rate**
+(target: within ~25%, i.e. >= 0.75). Details: `BENCH/headroom.json`.
+{kr_line}"""
+
+
 def run_scaling(measure: bool = True) -> None:
     """The north rule's two-cluster-size criterion, sandbox edition: the
     identical flagship job at local[8] (N) vs local[32] (4N) in fresh JVMs,
@@ -432,10 +471,12 @@ CPU steal (0-30% observed) adds run-to-run noise; each level reports
 best-of-N with per-run steal above.
 
 {kern_section}
+{_headroom_section()}
 {queries_line}
 
 Reproduce: `python bench.py --scaling` (re-measures both shapes and
-regenerates this file); `python bench.py --report` rebuilds it from history.
+regenerates this file); `python bench.py --report` rebuilds it from history;
+`python BENCH/headroom.py` re-measures the 10x headroom + kill/resume row.
 """
         )
     print(json.dumps({"scaling": summary, "kernels": kern, **roof}))

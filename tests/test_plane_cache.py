@@ -67,6 +67,44 @@ def test_relative_planes_reconstruct_absolute_indices():
     assert (cmax, rmax) == (int(col_abs.max()), int(row_abs.max()))
 
 
+def test_disk_tier_shared_across_fresh_caches(tmp_path, monkeypatch):
+    """A big plane built once is served from the node-local disk tier by any
+    later (fresh) worker cache WITHOUT recomputing the projection — the
+    mechanism that de-duplicates plane builds across Python workers/JVMs."""
+    monkeypatch.setenv("XSS_PLANE_CACHE_DIR", str(tmp_path))
+    grid = GridSpec(
+        crs="EPSG:4326", x0=11.0, y0=51.0, res=0.0005,
+        width=1024, height=1024, tile_w=1024, tile_h=1024,
+    )
+    g_key = tuple(sorted(grid.to_dict().items()))
+    args = (g_key, 0, 0, 32, False, 60.0, 0.0, 0.0)
+
+    fresh = tiles._ByteBudgetCache()
+    monkeypatch.setattr(tiles, "_PLANE_CACHE", fresh)
+    first = tiles._tile_index_planes(*args)
+    files = sorted(p.name for p in tmp_path.iterdir())
+    assert any(f.endswith(".planes.npy") for f in files)
+    assert any(f.endswith(".meta.npy") for f in files)
+
+    # a brand-new in-memory cache + a poisoned projection ⇒ must hit disk
+    monkeypatch.setattr(tiles, "_PLANE_CACHE", tiles._ByteBudgetCache())
+    monkeypatch.setattr(
+        tiles, "_tile_utm_coords",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("recomputed projection")),
+    )
+    second = tiles._tile_index_planes(*args)
+    np.testing.assert_array_equal(np.asarray(first[0]), np.asarray(second[0]))
+    np.testing.assert_array_equal(np.asarray(first[1]), np.asarray(second[1]))
+    assert first[2:] == second[2:]
+
+
+def test_disk_tier_disabled_by_empty_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("XSS_PLANE_CACHE_DIR", "")
+    assert tiles._plane_disk_dir() is None
+    assert tiles._plane_disk_paths(("k",)) is None
+    assert tiles._plane_disk_load(("k",)) is None
+
+
 def test_oversized_tile_span_raises():
     # 1 grid cell ≈ 111 m; res=0.001 m ⇒ one 64-px tile spans ~7e6 scene px
     grid = GridSpec(

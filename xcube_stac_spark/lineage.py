@@ -137,9 +137,10 @@ def write_cube(
     (e.g. one per solar_day — the streaming path does exactly this per
     micro-batch).
 
-    The cube plan is persisted (memory-and-disk) across the metrics pass and
-    the data write so the expensive decode/regrid/mosaic pipeline executes
-    ONCE, not twice.
+    The cube plan is persisted (DISK_ONLY — tile binaries would evict the
+    writers' heap at native tile sizes) across the metrics pass and the data
+    write so the expensive decode/regrid/mosaic pipeline executes ONCE, not
+    twice.
 
     The per-partition metrics/lineage rows never touch the driver: the
     aggregation is WRITTEN (distributed) to a staging dir inside the commit
@@ -155,7 +156,15 @@ def write_cube(
     run_id = uuid.uuid4().hex[:12]
     staging = os.path.join(_log_dir(path), "_staging", run_id)
     todo = pending_partitions(cube, path) if resume else cube
-    todo = todo.persist()
+    # DISK_ONLY, not the MEMORY_AND_DISK default: the persisted rows are the
+    # FINAL pixel planes (tile-sized binaries — ~16 MB/row at the native
+    # 2048-px tile), so caching them on-heap next to 32 concurrent parquet
+    # writers OOMs the JVM at sf1.0 (measured); the reuse pattern is
+    # write-once-read-twice (metrics agg + data write), for which local-disk
+    # spill is the scalable level at any cube size
+    from pyspark import StorageLevel
+
+    todo = todo.persist(StorageLevel.DISK_ONLY)
     try:
         # per-partition metrics + lineage (A8) in one aggregation, written
         # as a parquet table (repartition(1): the rows are ~100 B each, so

@@ -201,6 +201,64 @@ class _ByteBudgetCache:
 _PLANE_CACHE = _ByteBudgetCache()
 
 
+def _plane_disk_dir() -> str | None:
+    """Node-local shared tier for index planes. Empty env disables."""
+    d = os.environ.get("XSS_PLANE_CACHE_DIR", None)
+    if d == "":
+        return None
+    if d is None:
+        import tempfile
+
+        d = os.path.join(tempfile.gettempdir(), "xss_plane_cache_v1")
+    return d
+
+
+def _plane_disk_paths(key: tuple) -> tuple[str, str] | None:
+    d = _plane_disk_dir()
+    if d is None:
+        return None
+    import hashlib
+
+    fn = hashlib.sha1(repr(key).encode()).hexdigest()
+    return os.path.join(d, fn + ".meta.npy"), os.path.join(d, fn + ".planes.npy")
+
+
+def _plane_disk_load(key: tuple):
+    """meta written AFTER planes ⇒ meta presence commits the pair; a corrupt
+    partial file just falls back to rebuilding."""
+    paths = _plane_disk_paths(key)
+    if paths is None:
+        return None
+    meta_p, planes_p = paths
+    if not os.path.exists(meta_p):
+        return None
+    try:
+        meta = np.load(meta_p)
+        planes = np.load(planes_p, mmap_mode="r")
+        return planes[0], planes[1], int(meta[0]), int(meta[1]), int(meta[2]), int(meta[3])
+    except Exception:
+        return None
+
+
+def _plane_disk_store(key: tuple, val: tuple) -> tuple:
+    paths = _plane_disk_paths(key)
+    if paths is None:
+        return val
+    meta_p, planes_p = paths
+    try:
+        os.makedirs(os.path.dirname(meta_p), exist_ok=True)
+        tmp = f".{os.getpid()}.tmp"
+        np.save(planes_p + tmp, np.stack([val[0], val[1]]))
+        os.rename(planes_p + tmp + ".npy", planes_p)
+        np.save(meta_p + tmp, np.array(val[2:], dtype=np.int64))
+        os.rename(meta_p + tmp + ".npy", meta_p)
+    except OSError:
+        return val  # disk tier is best-effort; the in-memory tier still holds it
+    # serve the mmap-backed copy so all workers on this node share pages
+    loaded = _plane_disk_load(key)
+    return loaded if loaded is not None else val
+
+
 def _tile_index_planes(
     grid_key: tuple, tile_x: int, tile_y: int, zone: int, south: bool,
     res: float, rx: float, ry: float,
@@ -217,9 +275,22 @@ def _tile_index_planes(
     smaller than absolute int32 (the kernel is bandwidth-bound) and exact:
     a tile never spans 65536 scene pixels (2048 output px at any
     oversampling <= 32x). The NumPy oracle implements the identical
-    floor-decomposition (the defined index spec)."""
+    floor-decomposition (the defined index spec).
+
+    Two tiers: the in-memory byte-budget LRU above, and a NODE-LOCAL disk
+    tier (XSS_PLANE_CACHE_DIR, atomic-rename .npy pairs, served via
+    mmap_mode="r"): building a 2048-px plane costs ~9 s of TM-series trig on
+    this box, and without sharing EVERY Python worker of EVERY job rebuilds
+    every plane it touches (measured: a fresh-JVM one-day job spent 5x its
+    useful compute on duplicate plane builds). The disk tier makes a plane a
+    build-once-per-node artifact, and mmap means the 32 local workers share
+    ONE physical copy through the page cache — exactly the shape a
+    per-executor-node cache would take on a real cluster."""
 
     def build():
+        hit = _plane_disk_load(key)
+        if hit is not None:
+            return hit
         e, n = _tile_utm_coords(grid_key, tile_x, tile_y, zone, south)
         col = np.floor((e - np.float32(rx)) / np.float32(res)).astype(np.int64)
         row = np.floor((np.float32(ry) - n) / np.float32(res)).astype(np.int64)
@@ -230,10 +301,13 @@ def _tile_index_planes(
                 f"grid tile spans {cmax - cbase + 1}x{rmax - rbase + 1} scene "
                 "pixels — exceeds the uint16 relative-plane representation"
             )
-        return (
+        val = (
             (col - cbase).astype(np.uint16), (row - rbase).astype(np.uint16),
             cbase, rbase, cmax, rmax,
         )
+        if val[0].nbytes >= 1 << 20:  # share big planes only; small are cheap to rebuild
+            val = _plane_disk_store(key, val)
+        return val
 
     key = (grid_key, tile_x, tile_y, zone, south, res, rx, ry)
     return _PLANE_CACHE.get_or_build(key, build)
@@ -360,6 +434,47 @@ def _regrid_one(
     dn_z = zlib.compress(dn.tobytes(), 1)
     mask_z = zlib.compress(np.packbits(valid.ravel()).tobytes(), 1)
     return dn_z, mask_z, n_valid, y0, x0, y1 - y0, x1 - x0, th, tw
+
+
+def warm_plane_cache(scene_images: DataFrame, grid: GridSpec) -> int:
+    """Build every index plane the decode stage will need in ONE balanced
+    Spark stage (keys round-robin across workers), populating the node-local
+    disk tier so no decode task ever builds a plane inline.
+
+    Without this, cold-start plane builds serialize behind whichever decode
+    tasks first touch each (tile, zone, res, residue) key — at the 2048-px
+    native tile a single build is ~9 s of TM trig, and a fresh JVM's decode
+    stage degenerates into duplicated plane building (measured 5x overhead
+    on one-day jobs). The key list comes from scene METADATA only (no pixel
+    reads); returns the number of distinct planes."""
+    rows = (
+        scene_images.select(
+            "zone", "south", "scene_res", "scene_x0", "scene_y0",
+            F.explode("grid_tiles").alias("t"),
+        )
+        .select("zone", "south", "scene_res", "scene_x0", "scene_y0",
+                F.col("t.tile_x").alias("tile_x"), F.col("t.tile_y").alias("tile_y"))
+        .distinct()
+        .collect()
+    )
+    gd = grid.to_dict()
+    g_key = tuple(sorted(gd.items()))
+    keys = set()
+    for r in rows:
+        rx, _ = pixel_residue_shift(float(r.scene_x0), float(r.scene_res))
+        ry, _ = pixel_residue_shift(float(r.scene_y0), float(r.scene_res))
+        keys.add((int(r.tile_x), int(r.tile_y), int(r.zone), bool(r.south), float(r.scene_res), rx, ry))
+    if not keys:
+        return 0
+    sc = scene_images.sparkSession.sparkContext
+    klist = sorted(keys)
+
+    def build(k):
+        tile_x, tile_y, zone, south, res, rx, ry = k
+        _tile_index_planes(g_key, tile_x, tile_y, zone, south, res, rx, ry)
+
+    sc.parallelize(klist, min(len(klist), sc.defaultParallelism)).foreach(build)
+    return len(klist)
 
 
 def decode_regrid(

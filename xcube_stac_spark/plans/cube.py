@@ -145,6 +145,11 @@ def build_cube(
     scenes = select_scenes(cat, bbox, time_range, collections, query)
     imgs = scene_images(cat, scenes, bands)
     assigned = tiles.assign_grid_tiles(imgs, grid)
+    # large tiles ⇒ pre-build the shared projection planes in one balanced
+    # stage (a single 2048-px plane is ~9 s of TM trig; letting decode tasks
+    # build them inline duplicates the work across Python workers)
+    if grid.tile_w * grid.tile_h >= 1 << 20:
+        tiles.warm_plane_cache(assigned, grid)
     regridded = tiles.decode_regrid(assigned, grid)
     cube = tiles.mosaic_take_first(regridded)
     if with_spine:
