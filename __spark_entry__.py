@@ -962,10 +962,13 @@ FROM aug GROUP BY md5(text)
 """
     nh = text_op.N_HASHES
     rows_per_band = nh // text_op.N_BANDS
+    # seed = 4q + lane: four md5 digests per gram, each split into four
+    # 8-hex 32-bit lanes — mirrors text.minhash_signatures exactly
     minhash_cand = f"""
 mh AS (
   SELECT doc_id, seed,
-         min(('0x' || substr(md5(seed::varchar || '|' || gram), 1, 8))::bigint) AS minhash
+         min(('0x' || substr(md5((seed // 4)::varchar || '|' || gram),
+                             1 + 8 * (seed % 4), 8))::bigint) AS minhash
   FROM grams, LATERAL (SELECT unnest(generate_series(0, {nh - 1})) AS seed) s
   GROUP BY doc_id, seed
 ),

@@ -90,21 +90,33 @@ def minhash_signatures(docs: DataFrame, ngram: int = 3) -> DataFrame:
 
     Computed as N_HASHES static min-aggregates over the gram rows (one
     shuffle on doc_id) instead of exploding every gram ×N_HASHES seeds and
-    re-grouping: the gram table stays 1x, the md5 count is identical (16
-    hashes per gram either way, JVM-side), and the r01-measured 18 s for
-    5k docs drops with the 16x row reduction. Results are bit-identical to
-    the exploded formulation (and to the DuckDB oracle, which still uses
-    the row form — parity proves the equivalence every round)."""
+    re-grouping: the gram table stays 1x (r01-measured 18 s for 5k docs
+    dropped with the 16x row reduction). The 16 seed hashes come from FOUR
+    md5 calls per gram, not 16: md5(q || '|' || gram) for q in 0..3, each
+    split into four independent 8-hex (32-bit) lanes — seed = 4q + lane.
+    md5's diffusion makes the lanes independent hash functions, the digest
+    work per gram drops 4x (md5 dominates the signature stage), and the
+    DuckDB oracle mirrors the same lane decomposition (parity proves the
+    equivalence every round)."""
     grams = docs.select(
         "doc_id", F.explode(F.array_distinct(word_ngrams(F.col("text"), ngram))).alias("gram")
     )
+    # project the q-digests ONCE, then aggregate lane substrings — separate
+    # agg expressions would not reliably share the md5 subexpression
+    hashed = grams.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws("|", F.lit(str(q)), F.col("gram"))).alias(f"h{q}")
+            for q in range(N_HASHES // 4)
+        ],
+    )
     aggs = [
         F.min(
-            _h32(F.concat_ws("|", F.lit(str(seed)), F.col("gram")))
+            F.conv(F.substring(F.col(f"h{seed // 4}"), 1 + 8 * (seed % 4), 8), 16, 10).cast("long")
         ).alias(f"m{seed}")
         for seed in range(N_HASHES)
     ]
-    return grams.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_band_buckets(signatures: DataFrame) -> DataFrame:
