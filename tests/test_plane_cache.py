@@ -98,6 +98,68 @@ def test_disk_tier_shared_across_fresh_caches(tmp_path, monkeypatch):
     assert first[2:] == second[2:]
 
 
+def test_warm_plane_cache_prebuilds_disk_tier(spark, sf0001_dir):
+    """One balanced stage builds every plane the decode stage will touch,
+    into the node-local disk tier (build_cube triggers this automatically
+    for large-tile grids). Spark workers inherit the daemon's env, so the
+    test asserts the exact per-key files in the REAL default cache dir."""
+    import os
+
+    from xcube_stac_spark import synth
+    from xcube_stac_spark.plans import cube as cube_plan
+    from xcube_stac_spark.sources.catalog import SceneCatalog
+
+    base = synth.default_grid("sf0.001")
+    # same extent, oversampled so interior 1024-px tiles exist (planes
+    # > 1 MiB engage the disk tier; edge-cropped tiles stay memory-only)
+    grid = GridSpec(
+        crs=base.crs, x0=base.x0, y0=base.y0, res=base.res / 16,
+        width=base.width * 16, height=base.height * 16,
+        tile_w=1024, tile_h=1024,
+    )
+    cat = SceneCatalog(spark, sf0001_dir)
+    scenes = cube_plan.select_scenes(cat, grid.bbox(), ("2025-06-01", "2025-06-30"))
+    imgs = cube_plan.scene_images(cat, scenes, ["B02"])
+    assigned = tiles.assign_grid_tiles(imgs, grid)
+
+    # expected keys, replicated from warm_plane_cache's own derivation
+    gd = grid.to_dict()
+    g_key = tuple(sorted(gd.items()))
+    rows = (
+        assigned.selectExpr(
+            "zone", "south", "scene_res", "scene_x0", "scene_y0", "explode(grid_tiles) t"
+        )
+        .selectExpr("zone", "south", "scene_res", "scene_x0", "scene_y0", "t.tile_x", "t.tile_y")
+        .distinct()
+        .collect()
+    )
+    expected = set()
+    for r in rows:
+        rx, _ = tiles.pixel_residue_shift(float(r.scene_x0), float(r.scene_res))
+        ry, _ = tiles.pixel_residue_shift(float(r.scene_y0), float(r.scene_res))
+        expected.add((g_key, int(r.tile_x), int(r.tile_y), int(r.zone), bool(r.south), float(r.scene_res), rx, ry))
+
+    def tile_px(k):
+        _, tx, ty = k[0], k[1], k[2]
+        return (
+            min(grid.tile_w, grid.width - k[1] * grid.tile_w)
+            * min(grid.tile_h, grid.height - k[2] * grid.tile_h)
+        )
+
+    big = [k for k in sorted(expected) if tile_px(k) * 2 >= 1 << 20]
+    assert big, "fixture must include at least one full-size tile"
+    paths = [tiles._plane_disk_paths(k) for k in big]
+    for meta_p, planes_p in paths:
+        for p in (meta_p, planes_p):
+            if os.path.exists(p):
+                os.remove(p)
+
+    n = tiles.warm_plane_cache(assigned, grid)
+    assert n == len(expected) > 0
+    for meta_p, planes_p in paths:
+        assert os.path.exists(meta_p) and os.path.exists(planes_p)
+
+
 def test_disk_tier_disabled_by_empty_env(tmp_path, monkeypatch):
     monkeypatch.setenv("XSS_PLANE_CACHE_DIR", "")
     assert tiles._plane_disk_dir() is None
