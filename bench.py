@@ -312,6 +312,16 @@ print(json.dumps({{"sec": best}}))
     return out
 
 
+def _windows_section() -> str:
+    """Manually-maintained cross-window efficiency record (BENCH/WINDOWS.md)
+    — facts from past rounds that a regeneration must not clobber."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "WINDOWS.md")
+    if not os.path.exists(p):
+        return ""
+    with open(p) as f:
+        return f.read()
+
+
 def _headroom_section() -> str:
     """BASELINE.md block for the 10x scale-headroom evidence, from
     BENCH/headroom.json (written by BENCH/headroom.py)."""
@@ -491,6 +501,7 @@ CPU steal (0-30% observed) adds run-to-run noise; each level reports
 best-of-N with per-run steal above.
 
 {kern_section}
+{_windows_section()}
 {_headroom_section()}
 {queries_line}
 
