@@ -962,14 +962,16 @@ FROM aug GROUP BY md5(text)
 """
     nh = text_op.N_HASHES
     rows_per_band = nh // text_op.N_BANDS
-    # seed = 4q + lane: four md5 digests per gram, each split into four
-    # 8-hex 32-bit lanes — mirrors text.minhash_signatures exactly
+    # one md5 base hash per gram + per-seed affine mixes over 2^61-1 —
+    # the exact (a, b) literals text.minhash_signatures derives
+    mh_values = ", ".join(
+        f"({s}, {a}, {b})" for s, (a, b) in enumerate(text_op._mh_params(nh))
+    )
     minhash_cand = f"""
 mh AS (
-  SELECT doc_id, seed,
-         min(('0x' || substr(md5((seed // 4)::varchar || '|' || gram),
-                             1 + 8 * (seed % 4), 8))::bigint) AS minhash
-  FROM grams, LATERAL (SELECT unnest(generate_series(0, {nh - 1})) AS seed) s
+  SELECT doc_id, seed, min((a * h + b) % {text_op._MH_PRIME}) AS minhash
+  FROM (SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::bigint AS h FROM grams) g,
+       (VALUES {mh_values}) s(seed, a, b)
   GROUP BY doc_id, seed
 ),
 bands AS (

@@ -45,8 +45,21 @@ def tokens_col(text: Column) -> Column:
 def word_ngrams(text: Column, n: int = 3) -> Column:
     """Word n-gram array via sequence+transform (no UDF). Short texts
     (< n tokens) yield an empty array — guarded because Spark's sequence(1,0)
-    would count DOWN and element_at(0) throws under ANSI mode."""
-    toks = tokens_col(text)
+    would count DOWN and element_at(0) throws under ANSI mode.
+
+    NOTE for hot paths: this embeds the tokenization INSIDE the transform
+    lambda, and Catalyst does not common-subexpression-eliminate a lambda's
+    captured expressions — the split re-runs per element per row, O(tokens²)
+    per document (profiled: ~7 s of a 345k-gram corpus's signature stage).
+    Pipelines should pre-project the token array once and use
+    ngrams_of_tokens (see _gram_rows)."""
+    return ngrams_of_tokens(tokens_col(text), n)
+
+
+def ngrams_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-grams from an ALREADY-PROJECTED token-array column. When
+    ``toks`` is a bound attribute the lambda reads the row value (O(tokens)
+    total); pass a pre-projected column in any per-corpus path."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(
@@ -55,6 +68,16 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     )
     empty = F.array().cast("array<string>")
     return F.when(F.size(toks) >= n, grams).otherwise(empty)
+
+
+def _gram_rows(docs: DataFrame, ngram: int) -> DataFrame:
+    """(doc_id, gram) distinct-per-doc gram rows with the tokenization
+    projected ONCE per row (the shared first stage of every gram-based
+    dedup operator)."""
+    return docs.select("doc_id", tokens_col(F.col("text")).alias("toks")).select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams_of_tokens(F.col("toks"), ngram))).alias("gram"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -84,37 +107,44 @@ N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
 
+#: Mersenne prime for the (a·h + b) mod p minhash family — the textbook
+#: universal-hash construction (MMDS ch.3): one BASE 32-bit md5 hash per
+#: gram, then N_HASHES cheap affine mixes, instead of N_HASHES digests.
+_MH_PRIME = (1 << 61) - 1
+
+
+def _mh_params(n: int) -> list[tuple[int, int]]:
+    """Deterministic per-seed (a, b): a odd < 2^30, b < 2^60, both derived
+    from md5 of the seed index so Spark and the DuckDB oracle share the
+    exact literals. Bounds keep a*h + b < 2^63 for h < 2^32 (no signed-64
+    overflow in either engine)."""
+    import hashlib
+
+    out = []
+    for s in range(n):
+        d = hashlib.md5(f"mh-{s}".encode()).hexdigest()
+        out.append(((int(d[:8], 16) % (1 << 30)) | 1, int(d[8:23], 16)))
+    return out
+
+
 def minhash_signatures(docs: DataFrame, ngram: int = 3) -> DataFrame:
     """(doc_id, m0..m{N_HASHES-1}): per-seed minhash columns — min over the
-    doc's distinct word-ngrams of h32(seed || '|' || gram).
+    doc's distinct word-ngrams of (a_seed * h32(gram) + b_seed) mod p.
 
     Computed as N_HASHES static min-aggregates over the gram rows (one
     shuffle on doc_id) instead of exploding every gram ×N_HASHES seeds and
-    re-grouping: the gram table stays 1x (r01-measured 18 s for 5k docs
-    dropped with the 16x row reduction). The 16 seed hashes come from FOUR
-    md5 calls per gram, not 16: md5(q || '|' || gram) for q in 0..3, each
-    split into four independent 8-hex (32-bit) lanes — seed = 4q + lane.
-    md5's diffusion makes the lanes independent hash functions, the digest
-    work per gram drops 4x (md5 dominates the signature stage), and the
-    DuckDB oracle mirrors the same lane decomposition (parity proves the
-    equivalence every round)."""
-    grams = docs.select(
-        "doc_id", F.explode(F.array_distinct(word_ngrams(F.col("text"), ngram))).alias("gram")
-    )
-    # project the q-digests ONCE, then aggregate lane substrings — separate
-    # agg expressions would not reliably share the md5 subexpression
-    hashed = grams.select(
-        "doc_id",
-        *[
-            F.md5(F.concat_ws("|", F.lit(str(q)), F.col("gram"))).alias(f"h{q}")
-            for q in range(N_HASHES // 4)
-        ],
-    )
+    re-grouping (the r01 18 s / 5k docs shape). Digest work is ONE md5 per
+    gram: the per-seed hashes are affine mixes of the shared 32-bit base
+    hash over the Mersenne prime 2^61-1 — the standard universal minhash
+    family, with identical literals mirrored into the DuckDB oracle
+    (parity proves the equivalence every round). Profiled: the signature
+    stage was 100% of minhash_near_dup's cost and md5 was its hot spot
+    (16 digests/gram in r2, 4 in early r3, 1 now)."""
+    grams = _gram_rows(docs, ngram)
+    hashed = grams.select("doc_id", _h32(F.col("gram")).alias("h"))
     aggs = [
-        F.min(
-            F.conv(F.substring(F.col(f"h{seed // 4}"), 1 + 8 * (seed % 4), 8), 16, 10).cast("long")
-        ).alias(f"m{seed}")
-        for seed in range(N_HASHES)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"m{seed}")
+        for seed, (a, b) in enumerate(_mh_params(N_HASHES))
     ]
     return hashed.groupBy("doc_id").agg(*aggs)
 
@@ -167,10 +197,7 @@ def minhash_near_dups(
     shape that stays linear at 10^12 docs (verification cost is
     O(candidates), and banding keeps candidates ≈ true near-dups)."""
     cand = minhash_candidates(docs, ngram)
-    grams = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_ngrams(F.col("text"), ngram))).alias("gram"),
-    )
+    grams = _gram_rows(docs, ngram)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     ga = grams.alias("ga")
     gb = grams.alias("gb")
@@ -227,10 +254,7 @@ def ngram_jaccard_pairs(
     set ignore those grams; Jaccard is computed over the FULL gram sets
     (sizes are taken before the filter), so reported similarity is a lower
     bound for pairs that shared a hot gram."""
-    grams = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_ngrams(F.col("text"), ngram))).alias("gram"),
-    )
+    grams = _gram_rows(docs, ngram)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     if max_gram_freq is not None:
         freq = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("df"))
