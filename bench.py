@@ -98,8 +98,8 @@ def run_bench() -> dict:
     for name in [] if not RUN_QUERIES else [
         "scene_search", "dedup_latest", "cell_cover", "spatial_join_region",
         "knn_tiles", "bbox_union", "lineage", "tpch_q1", "events_daily",
-        "exact_dedup", "minhash_near_dup", "ann_topk", "image_stats",
-        "events_sessionize",
+        "exact_dedup", "minhash_near_dup", "ngram_jaccard", "ann_topk",
+        "ann_lsh_topk", "image_stats", "events_sessionize",
     ]:
         q_runs = []
         for _ in range(REPEATS):

@@ -32,6 +32,8 @@ from __future__ import annotations
 import hashlib
 from functools import lru_cache
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -109,22 +111,6 @@ def hyperplane_signs(
     )
 
 
-def _band_key(vec: Column, plane_rows) -> Column:
-    """bits-bit key for one band: bit i = sign of <vec, plane_i>. The dot is
-    rounded to 1e-6 before the sign test so Spark's fold order and DuckDB's
-    list_dot_product agree bit-for-bit."""
-    key = F.lit(0)
-    for i, signs in enumerate(plane_rows):
-        arr = F.array(*[F.lit(s) for s in signs])
-        dot = F.aggregate(
-            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        key = key + F.when(F.round(dot, 6) > 0, F.lit(1 << i)).otherwise(0)
-    return key.cast("int")
-
-
 def hyperplane_bands(
     df: DataFrame,
     id_col: str,
@@ -134,17 +120,34 @@ def hyperplane_bands(
     dim: int = EMB_DIM,
 ) -> DataFrame:
     """(id, band, key) — one row per (vector, band), the LSH bucket table.
-    At rest this is what the corpus is bucketed/partitioned by."""
-    planes = hyperplane_signs(bands, bits, dim)
-    structs = [
-        F.struct(
-            F.lit(b).alias("band"), _band_key(F.col(vec_col), planes[b]).alias("key")
-        )
-        for b in range(bands)
-    ]
+    At rest this is what the corpus is bucketed/partitioned by.
+
+    All bands*bits sign bits come from ONE Arrow-batched matmul per batch
+    (bit i of band b = sign of <vec, plane_{b,i}>). The previous
+    pure-expression formulation spelled every plane as a dim-literal array
+    with a zip_with/aggregate fold — a (bands*bits*dim)-node Catalyst tree
+    whose ANALYSIS alone cost ~2.4 s per plan at the 4x8 shape (and the
+    near-dup shape is 16x12); execution was never the problem, plan size
+    was. The dot is thresholded at 0.5e-6 — exactly `round(dot, 6) > 0`
+    under HALF_UP, the guard that makes fold/summation order (SQL left
+    fold, DuckDB list_dot_product, BLAS matmul) unable to flip a bit; the
+    DuckDB oracle keeps the literal-plane formulation, so parity proves
+    the equivalence every round."""
+    P = np.asarray(hyperplane_signs(bands, bits, dim), dtype=np.float64).reshape(bands * bits, dim)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("array<int>")
+    def band_keys(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        bitm = (V @ P.T >= 5e-7).reshape(-1, bands, bits)
+        keys = (bitm * weights).sum(axis=2).astype(np.int32)
+        return pd.Series(list(keys))
+
     return df.select(
-        F.col(id_col), F.explode(F.array(*structs)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        F.col(id_col), F.posexplode(band_keys(F.col(vec_col))).alias("band", "key")
+    )
 
 
 def lsh_topk(

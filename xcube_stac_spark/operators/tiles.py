@@ -446,35 +446,59 @@ def warm_plane_cache(scene_images: DataFrame, grid: GridSpec) -> int:
     native tile a single build is ~9 s of TM trig, and a fresh JVM's decode
     stage degenerates into duplicated plane building (measured 5x overhead
     on one-day jobs). The key list comes from scene METADATA only (no pixel
-    reads); returns the number of distinct planes."""
-    rows = (
+    reads), and nothing scene-shaped ever crosses the driver: scene origins
+    collapse to sub-pixel RESIDUES executor-side (aligned products share a
+    per-zone pixel lattice, so residue cardinality ≈ #res values), the
+    distinct runs distributed over the collapsed keys, and a mapInPandas
+    pass builds the planes where the keys live. Returns the number of
+    distinct planes."""
+    gd = grid.to_dict()
+    g_key = tuple(sorted(gd.items()))
+
+    def residues(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # np.rint == Python round(): both round-half-even on the same double,
+        # so these residues EQUAL pixel_residue_shift's (shared cache keys)
+        for pdf in batches:
+            res = pdf["scene_res"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "tile_x": pdf["tile_x"],
+                    "tile_y": pdf["tile_y"],
+                    "zone": pdf["zone"],
+                    "south": pdf["south"],
+                    "scene_res": res,
+                    "rx": pdf["scene_x0"].to_numpy() - np.rint(pdf["scene_x0"].to_numpy() / res) * res,
+                    "ry": pdf["scene_y0"].to_numpy() - np.rint(pdf["scene_y0"].to_numpy() / res) * res,
+                }
+            )
+
+    key_schema = (
+        "tile_x int, tile_y int, zone int, south boolean, "
+        "scene_res double, rx double, ry double"
+    )
+    keys_df = (
         scene_images.select(
             "zone", "south", "scene_res", "scene_x0", "scene_y0",
             F.explode("grid_tiles").alias("t"),
         )
         .select("zone", "south", "scene_res", "scene_x0", "scene_y0",
                 F.col("t.tile_x").alias("tile_x"), F.col("t.tile_y").alias("tile_y"))
+        .mapInPandas(residues, key_schema)
         .distinct()
-        .collect()
     )
-    gd = grid.to_dict()
-    g_key = tuple(sorted(gd.items()))
-    keys = set()
-    for r in rows:
-        rx, _ = pixel_residue_shift(float(r.scene_x0), float(r.scene_res))
-        ry, _ = pixel_residue_shift(float(r.scene_y0), float(r.scene_res))
-        keys.add((int(r.tile_x), int(r.tile_y), int(r.zone), bool(r.south), float(r.scene_res), rx, ry))
-    if not keys:
-        return 0
-    sc = scene_images.sparkSession.sparkContext
-    klist = sorted(keys)
 
-    def build(k):
-        tile_x, tile_y, zone, south, res, rx, ry = k
-        _tile_index_planes(g_key, tile_x, tile_y, zone, south, res, rx, ry)
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                _tile_index_planes(
+                    g_key, int(r.tile_x), int(r.tile_y), int(r.zone),
+                    bool(r.south), float(r.scene_res), float(r.rx), float(r.ry),
+                )
+            yield pd.DataFrame({"n": [len(pdf)]})
 
-    sc.parallelize(klist, min(len(klist), sc.defaultParallelism)).foreach(build)
-    return len(klist)
+    parallelism = scene_images.sparkSession.sparkContext.defaultParallelism
+    counts = keys_df.repartition(parallelism).mapInPandas(build, "n long").agg(F.sum("n")).collect()
+    return int(counts[0][0] or 0)
 
 
 def decode_regrid(
