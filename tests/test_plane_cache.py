@@ -160,6 +160,29 @@ def test_warm_plane_cache_prebuilds_disk_tier(spark, sf0001_dir):
         assert os.path.exists(meta_p) and os.path.exists(planes_p)
 
 
+def test_disk_tier_sweep_evicts_oldest(tmp_path, monkeypatch):
+    """Over-budget disk tier drops oldest-written pairs, meta first (so a
+    concurrent reader sees a missing commit marker, never a torn pair)."""
+    import os
+    import time
+
+    monkeypatch.setenv("XSS_PLANE_CACHE_DIR", str(tmp_path))
+    # 4 MB planes each; budget 9 MB → third store evicts the first
+    monkeypatch.setenv("XSS_PLANE_CACHE_DISK_GB", str(9 / 1024))
+    mk = lambda: (
+        np.zeros((1024, 1024), np.uint16), np.zeros((1024, 1024), np.uint16),
+        0, 0, 10, 10,
+    )
+    for i in range(3):
+        tiles._plane_disk_store((f"k{i}",), mk())
+        # distinct write stamps even on coarse-mtime filesystems
+        t = time.time() + i * 10
+        os.utime(tiles._plane_disk_paths((f"k{i}",))[1], (t, t))
+    tiles._plane_disk_sweep(str(tmp_path))
+    assert tiles._plane_disk_load(("k0",)) is None
+    assert tiles._plane_disk_load(("k2",)) is not None
+
+
 def test_disk_tier_disabled_by_empty_env(tmp_path, monkeypatch):
     monkeypatch.setenv("XSS_PLANE_CACHE_DIR", "")
     assert tiles._plane_disk_dir() is None

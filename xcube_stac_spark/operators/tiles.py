@@ -240,6 +240,37 @@ def _plane_disk_load(key: tuple):
         return None
 
 
+def _plane_disk_sweep(d: str) -> None:
+    """Bound the node-local tier (XSS_PLANE_CACHE_DISK_GB, default 8):
+    when over budget, evict oldest-WRITTEN plane pairs first (mtime —
+    atime is unreliable under relatime mounts). Runs at store time only —
+    reads never pay the listdir."""
+    budget = float(os.environ.get("XSS_PLANE_CACHE_DISK_GB", "8")) * (1 << 30)
+    try:
+        entries = []
+        total = 0
+        for fn in os.listdir(d):
+            if not fn.endswith(".planes.npy"):
+                continue
+            p = os.path.join(d, fn)
+            st = os.stat(p)
+            entries.append((st.st_mtime, st.st_size, p))
+            total += st.st_size
+        if total <= budget:
+            return
+        for _, size, p in sorted(entries):
+            for victim in (os.path.join(d, os.path.basename(p)[: -len(".planes.npy")] + ".meta.npy"), p):
+                try:
+                    os.remove(victim)
+                except OSError:
+                    pass
+            total -= size
+            if total <= budget:
+                return
+    except OSError:
+        pass
+
+
 def _plane_disk_store(key: tuple, val: tuple) -> tuple:
     paths = _plane_disk_paths(key)
     if paths is None:
@@ -252,6 +283,7 @@ def _plane_disk_store(key: tuple, val: tuple) -> tuple:
         os.rename(planes_p + tmp + ".npy", planes_p)
         np.save(meta_p + tmp, np.array(val[2:], dtype=np.int64))
         os.rename(meta_p + tmp + ".npy", meta_p)
+        _plane_disk_sweep(os.path.dirname(meta_p))
     except OSError:
         return val  # disk tier is best-effort; the in-memory tier still holds it
     # serve the mmap-backed copy so all workers on this node share pages
