@@ -452,9 +452,18 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
 
     # unstuff 0xFF00 and expand to a bit array (padded with 1s)
     body = scan.replace(b"\xff\x00", b"\xff")
-    bits_arr = np.unpackbits(np.frombuffer(body, np.uint8))
-    bits_arr = np.concatenate([bits_arr, np.ones(16, np.uint8)])
-    pow16 = 1 << np.arange(15, -1, -1)
+    # next16[p] == "the 16 bits at bit-offset p, MSB-first, as an int" —
+    # precomputed in one vectorized byte-arithmetic pass: the symbol loop
+    # then reads one scalar instead of paying a slice+dot per Huffman
+    # symbol (profiled as the decoder's dominant cost). 4 bytes of 0xFF
+    # padding reproduce the 1-bits tail for windows past the stream end,
+    # covering every p the truncation guards admit (p <= nbits_total - s).
+    _bytes = np.frombuffer(body, np.uint8).astype(np.uint32)
+    _bytes = np.concatenate([_bytes, np.full(4, 255, np.uint32)])
+    _val24 = (_bytes[:-2] << 16) | (_bytes[1:-1] << 8) | _bytes[2:]
+    next16 = (
+        (_val24[:, None] >> (8 - np.arange(8, dtype=np.uint32))[None, :]) & 0xFFFF
+    ).reshape(-1)
     dc_sym, dc_len = _huff_lut(dc_tabs[comp_dc])
     ac_sym, ac_len = _huff_lut(ac_tabs[comp_ac])
     qt = qts[comp_qt]
@@ -464,11 +473,11 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
     zz = np.zeros((nby * nbx, 64), np.int32)
     p = 0
     prev_dc = 0
-    nbits_total = len(bits_arr)
+    nbits_total = 8 * len(body) + 16  # stream bits + the 1s padding tail
     for bi in range(nby * nbx):
         if p + 16 > nbits_total:
             raise ValueError("JPEG entropy stream truncated")
-        peek = int(bits_arr[p : p + 16] @ pow16)
+        peek = int(next16[p])
         s = int(dc_sym[peek])
         if s < 0:
             raise ValueError("bad DC Huffman code")
@@ -476,7 +485,7 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
         if s:
             if p + s > nbits_total:
                 raise ValueError("JPEG entropy stream truncated")
-            v = int(bits_arr[p : p + s] @ pow16[16 - s :])
+            v = int(next16[p]) >> (16 - s)
             p += s
             if v < (1 << (s - 1)):
                 v -= (1 << s) - 1
@@ -488,7 +497,7 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
             # peek below must see a full 16-bit window or fail explicitly
             if p + 16 > nbits_total:
                 raise ValueError("JPEG entropy stream truncated")
-            peek = int(bits_arr[p : p + 16] @ pow16)
+            peek = int(next16[p])
             rs = int(ac_sym[peek])
             if rs < 0:
                 raise ValueError("bad AC Huffman code")
@@ -504,7 +513,7 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
                 continue
             if p + s > nbits_total:
                 raise ValueError("JPEG entropy stream truncated")
-            v = int(bits_arr[p : p + s] @ pow16[16 - s :])
+            v = int(next16[p]) >> (16 - s)
             p += s
             if v < (1 << (s - 1)):
                 v -= (1 << s) - 1
