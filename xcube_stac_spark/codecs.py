@@ -117,7 +117,11 @@ def decode_png(data: bytes, w: int | None = None, h: int | None = None) -> np.nd
             cur = line
         elif f == 2:  # Up
             cur = (line.astype(np.int32) + prev).astype(np.uint8)
-        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-neighbor scan
+        elif f == 1:  # Sub: per-byte-lane modular cumsum (no Python scan)
+            cur = line.copy()
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(line[lane::bpp], dtype=np.uint64).astype(np.uint8)
+        elif f in (3, 4):  # Average / Paeth need the true left-neighbor scan
             cur = np.zeros(stride, dtype=np.uint8)
             for i in range(stride):
                 a = cur[i - bpp] if i >= bpp else 0
