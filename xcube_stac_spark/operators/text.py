@@ -380,10 +380,18 @@ def _stop_hits(text: Column, lang: str) -> Column:
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """N-gram/stopword-heuristic language ID: argmax of per-language
-    stopword hit counts, ties broken by LANG_ORDER, 'und' when all zero."""
-    df = docs
+    stopword hit counts, ties broken by LANG_ORDER, 'und' when all zero.
+    The token array is projected once and shared by all four language
+    scorers (same values as per-language tokenization, 1/4 the splits)."""
+    def contains(a):
+        return lambda t: F.array_contains(a, t)
+
+    df = docs.withColumn("_toks", tokens_col(F.col("text")))
     for lang in LANG_ORDER:
-        df = df.withColumn(f"score_{lang}", _stop_hits(F.col("text"), lang))
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        df = df.withColumn(
+            f"score_{lang}", F.size(F.filter(F.col("_toks"), contains(arr)))
+        )
     best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
     pred = F.lit("und")
     for lang in reversed(LANG_ORDER):
