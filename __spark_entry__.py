@@ -368,6 +368,16 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return ann_op.lsh_topk(_emb(spark, sf_dir), _ann_queries_df(spark, sf_dir), ANN_K)
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (the second scale path next to LSH): oracle
+    is a NumPy fixture replicating the deterministic k-means + probe."""
+    return ann_op.ivf_topk(
+        _emb(spark, sf_dir).select("vec_id", "embedding"),
+        _ann_queries_df(spark, sf_dir),
+        fixtures.IVF_TOPK_K,
+    )
+
+
 def _q_ann_near_dup(spark, sf_dir):
     return ann_op.near_dup_pairs(
         _aug_emb(spark, sf_dir), threshold=ANN_NEAR_THRESHOLD
@@ -656,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_near_dup": _q_ann_near_dup,
         "events_sessionize": _q_events_sessionize,
         "events_window": _q_events_window,

@@ -48,8 +48,11 @@ PYR_TIME_RANGE = ("2025-06-01", "2025-06-03")
 PYR_BANDS = ["B02"]
 COMBINED_PYR_BANDS = ["B02", "VZA"]
 PYR_LEVELS = 2
+#: IVF ANN fixture params (query ids match __spark_entry__.ANN_QUERY_IDS)
+IVF_QUERY_IDS = (0, 1, 2)
+IVF_TOPK_K = 10
 
-FIXTURE_VERSION = 4  # v2: jpeg rows; v3: pyramid_combined; v4: thumbs/frames
+FIXTURE_VERSION = 5  # v2: jpeg rows; v3: pyramid_combined; v4: thumbs/frames; v5: ann_ivf_topk
 
 THUMB_W = THUMB_H = 16
 N_FRAMES = 4
@@ -64,6 +67,7 @@ FIXTURE_QUERIES = (
     "uv_clip",
     "orthorectify",
     "rectify_swath",
+    "ann_ivf_topk",
     "pyramid",
     "pyramid_combined",
 )
@@ -485,6 +489,64 @@ def _fx_pyramid_combined(sdir: str, out_dir: str, grid: GridSpec) -> None:
 # ---------------------------------------------------------------------------
 
 
+_IVF_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("vec_id", pa.int64()),
+        ("cos_sim", pa.float64()),
+        ("rank", pa.int32()),
+    ]
+)
+
+
+def _fx_ann_ivf(sf: str, out_dir: str) -> None:
+    """Independent NumPy replica of ann.ivf_topk over the driver embeddings
+    table: same md5-ordered init, same first-min L2 assignment, same
+    HALF_UP-rounded per-dim means (absorbing summation-order differences),
+    same stable-sort probe and (cos desc, vec_id) ranking. Skipped when the
+    driver table is absent (bare checkout)."""
+    import hashlib
+
+    from xcube_stac_spark.operators.ann import IVF_ITERS, IVF_K, IVF_NPROBE
+
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), sf, "embeddings.parquet"
+    )
+    if not os.path.exists(path):
+        return
+    t = pq.read_table(path)
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    V = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = sorted(range(len(ids)), key=lambda i: hashlib.md5(str(int(ids[i])).encode()).hexdigest())
+    C = V[order[:IVF_K]].copy()
+    for _ in range(IVF_ITERS):
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d, axis=1)
+        for c in range(IVF_K):
+            members = V[a == c]
+            if len(members):
+                C[c] = [round_half_up(float(x), 6) for x in members.mean(axis=0)]
+    d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    final_assign = np.argmin(d, axis=1)
+
+    rows: list[dict] = []
+    for q in IVF_QUERY_IDS:
+        qv = V[ids == q][0]
+        probe = set(
+            np.argsort(((C - qv) ** 2).sum(axis=1), kind="stable")[:IVF_NPROBE].tolist()
+        )
+        scored = []
+        for i in range(len(ids)):
+            if final_assign[i] not in probe or ids[i] == q:
+                continue
+            cos = float(np.dot(V[i], qv) / (np.linalg.norm(V[i]) * np.linalg.norm(qv)))
+            scored.append((int(ids[i]), round_half_up(cos, 6)))
+        scored.sort(key=lambda s: (-s[1], s[0]))
+        for rank, (vid, cos) in enumerate(scored[:IVF_TOPK_K], start=1):
+            rows.append(dict(query_id=int(q), vec_id=vid, cos_sim=cos, rank=rank))
+    _write(out_dir, "ann_ivf_topk", rows, _IVF_SCHEMA)
+
+
 def ensure_fixtures(sf: str, force: bool = False) -> str:
     """Generate (or reuse) the fixture parquet set for one scale factor.
     Returns the fixtures directory. Cached via a marker keyed on BOTH the
@@ -508,6 +570,7 @@ def ensure_fixtures(sf: str, force: bool = False) -> str:
     _fx_rectify_swath(out_dir)
     _fx_pyramid(sdir, out_dir, grid)
     _fx_pyramid_combined(sdir, out_dir, grid)
+    _fx_ann_ivf(sf, out_dir)
     with open(marker, "w") as f:
         f.write(stamp)
     return out_dir

@@ -184,6 +184,130 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+# ---------------------------------------------------------------------------
+# IVF: deterministic coarse-quantizer partitioned search (the second scale
+# path the training-data brief names alongside LSH: partition the corpus by
+# a small k-means codebook, probe only the nprobe nearest cells)
+# ---------------------------------------------------------------------------
+
+IVF_K = 8
+IVF_ITERS = 4
+IVF_NPROBE = 3
+
+
+def _ivf_assign_udf(C: np.ndarray):
+    """cluster id per vector: argmin L2 to the broadcast centroids (first
+    minimum wins — the NumPy-oracle tie-break by construction)."""
+
+    @F.pandas_udf("int")
+    def assign(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.asarray([np.asarray(v, np.float64) for v in vec])
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return assign
+
+
+def _ivf_probe_udf(C: np.ndarray, nprobe: int):
+    """nprobe nearest cluster ids per query (stable sort ⇒ ties break by
+    cluster id, mirrored by the oracle)."""
+
+    @F.pandas_udf("array<int>")
+    def probe(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray([np.asarray(v, np.float64) for v in vec])
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(list(np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(np.int32)))
+
+    return probe
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    round_digits: int = 6,
+) -> np.ndarray:
+    """Deterministic Lloyd k-means codebook, reproducible across engines:
+
+    * init = the k corpus vectors with smallest md5(str(id)) — an
+      engine-independent total order (the raw float32 components are
+      identical on both sides);
+    * each iteration assigns by L2 argmin (first-min tie-break) and
+      recomputes per-dim means, ROUNDED HALF_UP at 1e-6 — Spark's partial
+      aggregation sums in partition order while the NumPy oracle sums in
+      index order, and rounding absorbs the ~1e-13 difference so the
+      trained codebooks are bit-identical;
+    * empty clusters keep their previous centroid.
+
+    The per-iteration driver traffic is k*dim means — independent of corpus
+    size (the assignment and partial means are fully distributed)."""
+    from xcube_stac_spark.fixtures import round_half_up
+
+    init = (
+        embeddings.select(vec_col, F.md5(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    C = np.asarray([[float(x) for x in r[0]] for r in init])
+    for _ in range(iters):
+        assigned = embeddings.select(F.col(vec_col).alias("v")).withColumn(
+            "cluster", _ivf_assign_udf(C)(F.col("v"))
+        )
+        rows = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        C = C.copy()
+        for r in rows:
+            C[r["cluster"], r["pos"]] = round_half_up(float(r["m"]), round_digits)
+    return C
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    iters: int = IVF_ITERS,
+) -> DataFrame:
+    """IVF ANN: train the codebook, partition the corpus by cluster id, and
+    rank only the candidates in each query's nprobe nearest cells by exact
+    cosine. Same output shape as lsh_topk/brute_force_topk; recall < 1 by
+    design — at rest the corpus is written partitioned by ``cluster`` so a
+    probe scans nprobe/n_clusters of the data (the same partition-pruned
+    layout write_band_layout demonstrates for the LSH path).
+    ``nprobe == n_clusters`` degenerates to exhaustive search and must equal
+    brute_force_topk exactly (pinned by test)."""
+    C = ivf_train(embeddings, k=n_clusters, iters=iters)
+    corpus = embeddings.withColumn("cluster", _ivf_assign_udf(C)(F.col("embedding")))
+    probes = queries.select(
+        "query_id", "qvec",
+        F.explode(_ivf_probe_udf(C, nprobe)(F.col("qvec"))).alias("cluster"),
+    )
+    cand = corpus.join(F.broadcast(probes), "cluster").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
