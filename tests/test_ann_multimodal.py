@@ -310,6 +310,44 @@ def test_band_layout_probe_prunes_partitions_and_matches_lsh(spark, tmp_path):
         assert int(m.group(1)) < n_meta["bands"] * (1 << n_meta["bits"])
 
 
+def test_ivf_layout_probe_prunes_partitions_and_matches_ivf(spark, tmp_path):
+    """At-rest cluster layout: probe result == in-memory ivf_topk, and the
+    probe's scan is PARTITION-PRUNED (PartitionFilters on cluster)."""
+    emb = entry_mod._emb(spark, SF_DIR).select("vec_id", "embedding")
+    queries = entry_mod._ann_queries_df(spark, SF_DIR)
+    path = str(tmp_path / "ivf_layout")
+    ann_op.write_ivf_layout(emb, path)
+    got = ann_op.probe_ivf_layout(spark, path, queries, k=entry_mod.ANN_K)
+    exp = ann_op.ivf_topk(emb, queries, k=entry_mod.ANN_K)
+    g = sorted(((r.query_id, r.rank, r.vec_id, r.cos_sim) for r in got.collect()))
+    e = sorted(((r.query_id, r.rank, r.vec_id, r.cos_sim) for r in exp.collect()))
+    assert g == e and g
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    import re
+
+    m = re.search(r"partitions read: (\d+)", plan)
+    if m:
+        # exactly the union of the queries' probed cells, never the full corpus
+        import json
+        import os
+
+        with open(os.path.join(path, "_ivf_meta.json")) as f:
+            C = np.asarray(json.load(f)["centroids"])
+        probed = set()
+        for r in queries.collect():
+            qv = np.asarray(r.qvec, np.float64)
+            d = ((C - qv) ** 2).sum(axis=1)
+            probed |= set(np.argsort(d, kind="stable")[: ann_op.IVF_NPROBE].tolist())
+        assert int(m.group(1)) == len(probed) <= ann_op.IVF_K
+
+
 def test_tiff_is_supported_and_in_corpus(spark):
     """Uncompressed-strip TIFF is a first-class decode path now: corpus rows
     carry fmt='tiff' (the synth mix) and image_stats decodes them LOSSLESSLY

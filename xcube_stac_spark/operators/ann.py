@@ -187,7 +187,10 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 # IVF: deterministic coarse-quantizer partitioned search (the second scale
 # path the training-data brief names alongside LSH: partition the corpus by
-# a small k-means codebook, probe only the nprobe nearest cells)
+# a small k-means codebook, probe only the nprobe nearest cells).
+# write_ivf_layout/probe_ivf_layout materialize the at-rest form (corpus
+# partitioned by cluster, probes = partition-pruned scans), mirroring the
+# LSH write_band_layout contract.
 # ---------------------------------------------------------------------------
 
 IVF_K = 8
@@ -284,8 +287,8 @@ def ivf_topk(
     rank only the candidates in each query's nprobe nearest cells by exact
     cosine. Same output shape as lsh_topk/brute_force_topk; recall < 1 by
     design — at rest the corpus is written partitioned by ``cluster`` so a
-    probe scans nprobe/n_clusters of the data (the same partition-pruned
-    layout write_band_layout demonstrates for the LSH path).
+    probe scans nprobe/n_clusters of the data (write_ivf_layout /
+    probe_ivf_layout, partition pruning asserted by test).
     ``nprobe == n_clusters`` degenerates to exhaustive search and must equal
     brute_force_topk exactly (pinned by test)."""
     C = ivf_train(embeddings, k=n_clusters, iters=iters)
@@ -298,6 +301,72 @@ def ivf_topk(
         F.col("vec_id") != F.col("query_id")
     )
     scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def write_ivf_layout(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = IVF_K,
+    iters: int = IVF_ITERS,
+) -> None:
+    """Materialize the IVF at-rest layout: train the codebook once, write
+    the corpus partitioned by cluster id, and persist the centroids beside
+    it. A probe then reads nprobe/n_clusters of the data as a
+    PARTITION-PRUNED SCAN — no join against the base table, no shuffle."""
+    import json
+    import os
+
+    C = ivf_train(embeddings, k=n_clusters, iters=iters)
+    (
+        embeddings.withColumn("cluster", _ivf_assign_udf(C)(F.col("embedding")))
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
+        json.dump({"n_clusters": n_clusters, "centroids": C.tolist()}, f)
+
+
+def probe_ivf_layout(
+    spark, path: str, queries: DataFrame, k: int = 10, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """ivf_topk served from the at-rest layout: each query's nprobe nearest
+    cells become STATIC cluster partition predicates (queries are tiny by
+    definition, so the probe list is driver-bounded), the scan reads only
+    those directories, and exact cosine ranks the pruned candidates.
+    Identical output to ``ivf_topk`` at the layout's codebook."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    qrows = queries.select(
+        "query_id", F.explode(_ivf_probe_udf(C, nprobe)(F.col("qvec"))).alias("cluster")
+    ).collect()
+    qid_type = dict(queries.dtypes)["query_id"]
+    qc_df = spark.createDataFrame(
+        [(r["cluster"], r["query_id"]) for r in qrows],
+        f"cluster int, query_id {qid_type}",
+    )
+    pred = F.col("cluster").isin(sorted({r["cluster"] for r in qrows}))
+    cand = (
+        spark.read.parquet(path)
+        .where(pred)
+        .join(F.broadcast(qc_df), "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "embedding")
+    )
+    scored = cand.join(F.broadcast(queries), "query_id").select(
         "query_id",
         "vec_id",
         F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
