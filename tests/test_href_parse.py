@@ -62,7 +62,39 @@ def test_decode_href_custom_endpoint_with_credentials():
     )
 
 
-@pytest.mark.parametrize("bucket", ["test_123-s3alias", "m" * 64, "ab", "192.168.1.1", "xn--abc"])
+def test_http_fallback_keeps_scheme():
+    assert decode_href("http://example.org/some/file.tif") == (
+        "http", "example.org", "some/file.tif", {})
+
+
+def test_gov_cloud_regions_accepted():
+    href = "https://bucket-name.s3.us-gov-west-1.amazonaws.com/filename"
+    assert decode_href(href) == (
+        "s3", "bucket-name", "filename",
+        {"anon": True, "client_kwargs": {"region_name": "us-gov-west-1"}})
+    assert_aws_s3_region_name("us-gov-east-1", href)
+
+
+def test_anon_injected_alongside_other_storage_options():
+    # Reference injects anon whenever key/secret are absent, even when other
+    # storage options (e.g. client_kwargs) were passed.
+    href = "https://bucket-name.s3.us-east-1.amazonaws.com/filename"
+    proto, root, path, opts = decode_href(
+        href, storage_options={"client_kwargs": {"connect_timeout": 5}})
+    assert opts["anon"] is True
+    assert opts["client_kwargs"] == {
+        "connect_timeout": 5, "region_name": "us-east-1"}
+
+
+def test_custom_endpoint_validates_bucket():
+    with pytest.raises(ValueError, match="bucket naming rules"):
+        decode_href("https://s3.gfz-potsdam.de/bad-s3alias/data_id.zarr")
+
+
+@pytest.mark.parametrize(
+    "bucket",
+    ["test_123-s3alias", "m" * 64, "ab", "192.168.1.1", "xn--abc",
+     "bad-s3alias", "sthree-bucket", "bucket--ol-s3"])
 def test_bad_bucket_names_rejected(bucket):
     href = "https://s3-us-east-1.amazonaws.com/bucket-name/filename"
     with pytest.raises(ValueError, match="does not follow the AWS S3 bucket naming rules"):

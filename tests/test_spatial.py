@@ -151,7 +151,7 @@ def test_knn_pruning_is_lossless_and_bounded(spark):
         "bbox_xmax double, bbox_ymax double",
     )
     qlon, qlat, k = 12.0, 49.0, 7
-    got = spatial.knn_scenes(df, qlon, qlat, k=k).collect()
+    got = spatial.knn_scenes(df, qlon, qlat, k=k, prune=True).collect()
     # independent brute-force expectation
     cx, cy = lons + 0.25, lats + 0.25
     d2 = (cx - qlon) ** 2 + (cy - qlat) ** 2
@@ -161,8 +161,20 @@ def test_knn_pruning_is_lossless_and_bounded(spark):
     np.testing.assert_allclose([r.dist2 for r in got], [d2[i] for i in order])
     # boundedness: the optimized plan carries the ring filter (candidates
     # are pruned BEFORE the top-k, not ranked globally)
-    plan = spatial.knn_scenes(df, qlon, qlat, k=k)._jdf.queryExecution().optimizedPlan().toString()
+    plan = (
+        spatial.knn_scenes(df, qlon, qlat, k=k, prune=True)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
     assert "greatest(abs(" in plan  # the Chebyshev ring filter, inlined by Catalyst
+    # the auto gate skips the histogram job for small/in-memory inputs —
+    # same result, no ring filter in the plan
+    auto = spatial.knn_scenes(df, qlon, qlat, k=k).collect()
+    assert [r.tile_id for r in auto] == [r.tile_id for r in got]
+    plan_auto = (
+        spatial.knn_scenes(df, qlon, qlat, k=k)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "greatest(abs(" not in plan_auto
 
 
 def test_bbox_union_and_lineage(cat):

@@ -36,13 +36,18 @@ AWS_REGIONS = frozenset(
         "eu-north-1", "eu-south-1", "eu-south-2",
         "il-central-1", "me-central-1", "me-south-1",
         "sa-east-1",
+        "us-gov-east-1", "us-gov-west-1",
     }
 )
 
 #: AWS S3 bucket naming rules: 3-63 chars of lowercase letters, digits,
 #: dots, hyphens; must start and end with a letter or digit; no IP-address
-#: form; no ``xn--`` prefix.
-_BUCKET_RE = re.compile(r"^(?!xn--)[a-z0-9](?:[a-z0-9.-]{1,61})[a-z0-9]$")
+#: form; no ``xn--``/``sthree-`` prefixes; no ``-s3alias``/``--ol-s3``
+#: suffixes (reference ``xcube_stac/href_parse.py:27-32``).
+_BUCKET_RE = re.compile(
+    r"^(?!xn--)(?!sthree-)(?!.+--ol-s3$)(?!.+-s3alias$)"
+    r"[a-z0-9](?:[a-z0-9.-]{1,61})[a-z0-9]$"
+)
 _IP_RE = re.compile(r"^\d{1,3}(\.\d{1,3}){3}$")
 
 
@@ -63,7 +68,12 @@ def assert_aws_s3_region_name(region_name: str, href: str) -> None:
 
 
 def _with_region(region: str | None, storage_options: dict | None) -> dict:
-    opts = dict(storage_options) if storage_options else {"anon": True}
+    # The reference injects anon=True whenever the caller supplied neither
+    # 'key' nor 'secret', even alongside other storage options
+    # (xcube_stac/href_parse.py:166-168).
+    opts = dict(storage_options) if storage_options else {}
+    if "key" not in opts and "secret" not in opts:
+        opts["anon"] = True
     if region:
         ck = dict(opts.get("client_kwargs", {}))
         ck["region_name"] = region
@@ -111,12 +121,17 @@ def decode_href(
             return "s3", bucket, path, _with_region(region, storage_options)
 
     if host.startswith("s3."):
-        # S3-compatible custom endpoint: first path segment is the bucket
+        # S3-compatible custom endpoint: first path segment is the bucket.
+        # The reference validates the bucket and injects anon like the AWS
+        # branches (xcube_stac/href_parse.py:155-169).
         bucket, _, fs_path = path.partition("/")
-        opts = dict(storage_options) if storage_options else {"anon": True}
+        assert_aws_s3_bucket(bucket, href)
+        opts = _with_region(None, storage_options)
         ck = dict(opts.get("client_kwargs", {}))
         ck["endpoint_url"] = f"{parts.scheme}://{host}"
         opts["client_kwargs"] = ck
         return "s3", bucket, fs_path, opts
 
-    return "https", host, path, {}
+    # Non-S3 fallback keeps the href's own scheme
+    # (xcube_stac/href_parse.py:95-99: protocol = href.split("://")[0]).
+    return parts.scheme or "https", host, path, {}

@@ -319,12 +319,19 @@ def dedup_latest_version(scenes: DataFrame) -> DataFrame:
 # J4: kNN scenes/tiles to a point
 # ---------------------------------------------------------------------------
 
+#: Auto-pruning gate: upstream scans of at most this many files skip the
+#: histogram pass (its extra Spark job costs more than the global top-k it
+#: avoids at small corpora — measured 0.28→0.52 s at sf0.1).
+KNN_PRUNE_MIN_FILES = 8
+
+
 def knn_scenes(
     scenes: DataFrame,
     lon: float,
     lat: float,
     k: int = 1,
     level: int = cells_mod.DEFAULT_LEVEL,
+    prune: bool | None = None,
 ) -> DataFrame:
     """k nearest scene tiles to a query point by squared center distance
     (reference k=1 argmin at sen2.py:483-492). Distinct tiles ranked by
@@ -342,7 +349,15 @@ def knn_scenes(
     On a cell-partitioned scenes layout the ring filter partition-prunes, so
     no task ever sees the global tile list. Result is IDENTICAL to the
     unpruned ranking (the pruning bound is lossless), which is what the
-    DuckDB oracle checks."""
+    DuckDB oracle checks.
+
+    ``prune``: None (default) auto-gates the histogram pass on a cheap size
+    signal — the upstream scan's file count (driver-side listing, no job).
+    Small catalogs (≤ KNN_PRUNE_MIN_FILES files, incl. in-memory inputs)
+    go straight to the distributed ``orderBy.limit(k)``, whose
+    TakeOrderedAndProject is already per-partition top-k and cheaper than
+    an extra job at that size. True/False force either path; the result is
+    identical in all three modes (lossless bound, pinned by test)."""
     size = cells_mod.cell_size_deg(level)
     ncols = cells_mod.n_cols(level)
     nrows = 1 << level
@@ -372,24 +387,32 @@ def knn_scenes(
         .withColumn("dist2", d2)
         .withColumn("_ring", ring)
     )
-    # pass 1: O(log worldsize)-row histogram — the only driver-side data
-    hist = (
-        tiles.groupBy(
-            F.ceil(F.log2(F.greatest(F.col("_ring"), F.lit(1)))).alias("b")
+    if prune is None:
+        try:
+            prune = len(scenes.inputFiles()) > KNN_PRUNE_MIN_FILES
+        except Exception:  # pragma: no cover - exotic relations without files
+            prune = True
+    if prune:
+        # pass 1: O(log worldsize)-row histogram — the only driver-side data
+        hist = (
+            tiles.groupBy(
+                F.ceil(F.log2(F.greatest(F.col("_ring"), F.lit(1)))).alias("b")
+            )
+            .count()
+            .collect()
         )
-        .count()
-        .collect()
-    )
-    world_r = max(ncols, nrows)
-    r_needed = world_r
-    cum = 0
-    for row in sorted(hist, key=lambda r: r["b"]):
-        cum += row["count"]
-        if cum >= k:
-            r_needed = 1 << int(row["b"])
-            break
-    R = min(world_r, int(np.ceil(np.sqrt(2.0) * (r_needed + 1))) + 1)
-    cand = tiles.where(F.col("_ring") <= R).drop("_ring")
+        world_r = max(ncols, nrows)
+        r_needed = world_r
+        cum = 0
+        for row in sorted(hist, key=lambda r: r["b"]):
+            cum += row["count"]
+            if cum >= k:
+                r_needed = 1 << int(row["b"])
+                break
+        R = min(world_r, int(np.ceil(np.sqrt(2.0) * (r_needed + 1))) + 1)
+        cand = tiles.where(F.col("_ring") <= R).drop("_ring")
+    else:
+        cand = tiles.drop("_ring")
     # pass 2: distributed top-k, then rank the <= k survivors
     top = cand.orderBy(F.col("dist2").asc(), F.col("tile_id").asc()).limit(k)
     w = Window.orderBy(F.col("dist2").asc(), F.col("tile_id").asc())

@@ -189,12 +189,14 @@ class _ByteBudgetCache:
             return v[0]
         val = build()
         nbytes = sum(a.nbytes for a in val if isinstance(a, np.ndarray))
+        if nbytes > self._budget:
+            # Never admissible: return without flushing the resident planes.
+            return val
         while self._d and self._bytes + nbytes > self._budget:
             _, (_, old_bytes) = self._d.popitem(last=False)
             self._bytes -= old_bytes
-        if nbytes <= self._budget:
-            self._d[key] = (val, nbytes)
-            self._bytes += nbytes
+        self._d[key] = (val, nbytes)
+        self._bytes += nbytes
         return val
 
 
