@@ -265,8 +265,51 @@ def test_tiff_rejects_unsupported_and_truncated():
     e_off = ifd_off + 2 + 3 * 12
     assert struct.unpack("<H", good[e_off : e_off + 2])[0] == 259
     bad[e_off + 8 : e_off + 10] = struct.pack("<H", 5)
-    with _pytest.raises(ValueError, match="compressed TIFF not supported"):
+    with _pytest.raises(ValueError, match="unsupported TIFF compression=5"):
         codecs.decode_tiff(bytes(bad))
+
+
+def test_cog_roundtrip_tiled_deflate_predictor():
+    """Tiled + DEFLATE + predictor-2 (the COG shape) is bit-lossless across
+    edge-tile geometries, incl. images smaller than one tile."""
+    rng = np.random.default_rng(7)
+    for h, w in [(64, 64), (256, 256), (300, 517), (255, 257), (40, 24), (1, 1)]:
+        img = rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+        data = codecs.encode_cog(img)
+        np.testing.assert_array_equal(codecs.decode_tiff(data), img)
+    # explicit small tile size → many tiles incl. partial edge tiles
+    img = rng.integers(0, 65536, size=(100, 75), dtype=np.uint16)
+    np.testing.assert_array_equal(
+        codecs.decode_tiff(codecs.encode_cog(img, tile_size=32)), img)
+
+
+def test_cog_actually_compresses_smooth_content():
+    y, x = np.mgrid[0:256, 0:256]
+    smooth = (40 * y + 17 * x).astype(np.uint16)
+    data = codecs.encode_cog(smooth)
+    assert len(data) < smooth.nbytes // 4  # DEFLATE+predictor bites
+    np.testing.assert_array_equal(codecs.decode_tiff(data), smooth)
+
+
+def test_cog_is_tiled_and_deflate_on_the_wire():
+    """The container really is tile-organized DEFLATE: tags 259=8, 317=2,
+    322-325 present, and a strip decoder that only knew compression=1 would
+    not parse the payload."""
+    import struct as _s
+
+    img = np.arange(256 * 256, dtype=np.uint16).reshape(256, 256)
+    data = codecs.encode_cog(img, tile_size=128)
+    (ifd_off,) = _s.unpack("<I", data[4:8])
+    (n,) = _s.unpack("<H", data[ifd_off : ifd_off + 2])
+    tags = {}
+    for i in range(n):
+        t, ty, c = _s.unpack("<HHI", data[ifd_off + 2 + i * 12 : ifd_off + 10 + i * 12])
+        tags[t] = data[ifd_off + 10 + i * 12 : ifd_off + 14 + i * 12]
+    assert _s.unpack("<HH", tags[259])[0] == 8      # DEFLATE
+    assert _s.unpack("<HH", tags[317])[0] == 2      # predictor
+    assert _s.unpack("<I", tags[322])[0] == 128     # TileWidth
+    assert _s.unpack("<I", tags[323])[0] == 128     # TileLength
+    assert 324 in tags and 325 in tags and 273 not in tags
 
 
 def test_tiff_8bit_scales_like_jpeg_path():

@@ -535,34 +535,37 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
 
 
 # ---------------------------------------------------------------------------
-# TIFF — baseline grayscale, strip-organized, uncompressed (TIFF 6.0 §3).
-# The reference's primary raster container (GeoTIFF/COG via rioxarray,
-# accessors/sen2.py:158-169; extension map constants.py:76-83). Geo tags are
-# catalog metadata in this engine (scene_x0/y0/res columns), so the pixel
-# codec needs only the baseline bilevel/grayscale subset: II/MM byte order,
-# BitsPerSample 8 or 16, Compression 1, any RowsPerStrip.
+# TIFF — baseline grayscale (TIFF 6.0 §3) plus the COG subset: tile
+# organization (TIFF 6.0 §15, tags 322-325), DEFLATE compression (8 /
+# legacy 32946 — stdlib zlib) and the horizontal-differencing Predictor 2
+# (TIFF 6.0 §14). The reference's primary raster container (GeoTIFF/COG via
+# rioxarray, accessors/sen2.py:158-169, accessors/hls.py:131-140; extension
+# map constants.py:76-83) — real-world inputs are tile-organized and
+# DEFLATE-compressed. Geo tags are catalog metadata in this engine
+# (scene_x0/y0/res columns), so the pixel codec needs only II/MM byte
+# order, BitsPerSample 8 or 16, strips or tiles, compression 1/8/32946,
+# predictor 1/2.
 # ---------------------------------------------------------------------------
 
 _TIFF_TYPE = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4)}  # BYTE, SHORT, LONG
 
 
-def encode_tiff(img: np.ndarray, rows_per_strip: int | None = None) -> bytes:
-    """Little-endian uncompressed 16-bit grayscale TIFF, strip-organized
-    (libtiff's ~8 KiB default strip size unless overridden)."""
-    img = np.ascontiguousarray(img, dtype="<u2")
-    h, w = img.shape
-    if rows_per_strip is None:
-        rows_per_strip = max(1, 8192 // max(1, w * 2))
-    rows_per_strip = min(rows_per_strip, h)
-    strips = [
-        img[r : r + rows_per_strip].tobytes()
-        for r in range(0, h, rows_per_strip)
-    ]
-    n_strips = len(strips)
+def _predict2(img: np.ndarray) -> np.ndarray:
+    """Horizontal differencing, modulo-2^16 (uint16 wraparound)."""
+    d = img.copy()
+    d[:, 1:] = img[:, 1:] - img[:, :-1]
+    return d
+
+
+def _tiff_container(
+    segs: list[bytes], entries_fixed: list[tuple], n_seg_rowscols: int,
+    off_tag: int, cnt_tag: int,
+) -> bytes:
+    """Assemble header + segment data + IFD (+ overflow arrays)."""
     data_start = 8
     offsets, counts = [], []
     pos = data_start
-    for s in strips:
+    for s in segs:
         offsets.append(pos)
         counts.append(len(s))
         pos += len(s)
@@ -577,37 +580,100 @@ def encode_tiff(img: np.ndarray, rows_per_strip: int | None = None) -> bytes:
     def long_val(v: int) -> bytes:
         return struct.pack("<I", v)
 
-    # arrays that don't fit the 4-byte value field go after the IFD
-    n_entries = 9
+    n_segs = len(segs)
+    n_entries = len(entries_fixed) + 2
     overflow_off = ifd_off + 2 + n_entries * 12 + 4
     overflow = b""
-    if n_strips == 1:
+    if n_segs == 1:
         off_field, cnt_field = long_val(offsets[0]), long_val(counts[0])
-        off_typ = cnt_typ = 4
     else:
         off_field = long_val(overflow_off)
-        overflow += struct.pack(f"<{n_strips}I", *offsets)
-        cnt_field = long_val(overflow_off + 4 * n_strips)
-        overflow += struct.pack(f"<{n_strips}I", *counts)
-        off_typ = cnt_typ = 4
-    entries = [
-        entry(256, 4, 1, long_val(w)),            # ImageWidth
-        entry(257, 4, 1, long_val(h)),            # ImageLength
-        entry(258, 3, 1, short_val(16)),          # BitsPerSample
-        entry(259, 3, 1, short_val(1)),           # Compression = none
-        entry(262, 3, 1, short_val(1)),           # Photometric = BlackIsZero
-        entry(273, off_typ, n_strips, off_field),  # StripOffsets
-        entry(277, 3, 1, short_val(1)),           # SamplesPerPixel
-        entry(278, 4, 1, long_val(rows_per_strip)),  # RowsPerStrip
-        entry(279, cnt_typ, n_strips, cnt_field),  # StripByteCounts
-    ]
-    ifd = struct.pack("<H", n_entries) + b"".join(entries) + struct.pack("<I", 0)
+        overflow += struct.pack(f"<{n_segs}I", *offsets)
+        cnt_field = long_val(overflow_off + 4 * n_segs)
+        overflow += struct.pack(f"<{n_segs}I", *counts)
+    ents = []
+    for tag, typ, cnt, val in sorted(
+        entries_fixed
+        + [(off_tag, 4, n_segs, None), (cnt_tag, 4, n_segs, None)]
+    ):
+        if tag == off_tag and val is None:
+            ents.append(entry(tag, 4, n_segs, off_field))
+        elif tag == cnt_tag and val is None:
+            ents.append(entry(tag, 4, n_segs, cnt_field))
+        elif typ == 3:
+            ents.append(entry(tag, 3, 1, short_val(val)))
+        else:
+            ents.append(entry(tag, 4, 1, long_val(val)))
+    ifd = struct.pack("<H", n_entries) + b"".join(ents) + struct.pack("<I", 0)
     return (
         struct.pack("<2sHI", b"II", 42, ifd_off)
-        + b"".join(strips)
+        + b"".join(segs)
         + ifd
         + overflow
     )
+
+
+def encode_tiff(img: np.ndarray, rows_per_strip: int | None = None) -> bytes:
+    """Little-endian uncompressed 16-bit grayscale TIFF, strip-organized
+    (libtiff's ~8 KiB default strip size unless overridden)."""
+    img = np.ascontiguousarray(img, dtype="<u2")
+    h, w = img.shape
+    if rows_per_strip is None:
+        rows_per_strip = max(1, 8192 // max(1, w * 2))
+    rows_per_strip = min(rows_per_strip, h)
+    strips = [
+        img[r : r + rows_per_strip].tobytes()
+        for r in range(0, h, rows_per_strip)
+    ]
+    entries = [
+        (256, 4, 1, w),               # ImageWidth
+        (257, 4, 1, h),               # ImageLength
+        (258, 3, 1, 16),              # BitsPerSample
+        (259, 3, 1, 1),               # Compression = none
+        (262, 3, 1, 1),               # Photometric = BlackIsZero
+        (277, 3, 1, 1),               # SamplesPerPixel
+        (278, 4, 1, rows_per_strip),  # RowsPerStrip
+    ]
+    return _tiff_container(strips, entries, len(strips), 273, 279)
+
+
+def encode_cog(img: np.ndarray, tile_size: int = 256) -> bytes:
+    """COG-style grayscale TIFF: tile-organized (tags 322-325),
+    DEFLATE-compressed (Compression=8, stdlib zlib), horizontal-differencing
+    Predictor=2 — the layout rioxarray/GDAL emit for real Cloud-Optimized
+    GeoTIFFs (reference accessors/hls.py:131-140). Edge tiles are padded to
+    the full tile size with edge replication (padding bytes are outside
+    ImageWidth/Length and ignored on read, TIFF 6.0 §15)."""
+    img = np.ascontiguousarray(img, dtype=np.uint16)
+    h, w = img.shape
+    # tile dims must be multiples of 16 (§15); clamp to the image's own
+    # power-of-two envelope so small images don't carry a mostly-padding tile
+    ts = int(tile_size)
+    envelope = 16
+    while envelope < max(h, w) and envelope < ts:
+        envelope *= 2
+    ts = min(ts, envelope)
+    nty = -(-h // ts)
+    ntx = -(-w // ts)
+    pad = np.pad(img, ((0, nty * ts - h), (0, ntx * ts - w)), mode="edge")
+    tiles = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            t = pad[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
+            raw = _predict2(t).astype("<u2").tobytes()
+            tiles.append(zlib.compress(raw, 6))
+    entries = [
+        (256, 4, 1, w),    # ImageWidth
+        (257, 4, 1, h),    # ImageLength
+        (258, 3, 1, 16),   # BitsPerSample
+        (259, 3, 1, 8),    # Compression = DEFLATE (Adobe)
+        (262, 3, 1, 1),    # Photometric = BlackIsZero
+        (277, 3, 1, 1),    # SamplesPerPixel
+        (317, 3, 1, 2),    # Predictor = horizontal differencing
+        (322, 4, 1, ts),   # TileWidth
+        (323, 4, 1, ts),   # TileLength
+    ]
+    return _tiff_container(tiles, entries, len(tiles), 324, 325)
 
 
 def decode_tiff(data: bytes, w: int | None = None, h: int | None = None) -> np.ndarray:
@@ -648,42 +714,74 @@ def decode_tiff(data: bytes, w: int | None = None, h: int | None = None) -> np.n
         tags[tag] = struct.unpack(e + ch * cnt, raw)
 
     def one(tag: int, default=None):
-        v = tags.get(tag)
+        v = tags.get(tag, default)
         if v is None:
-            if default is None:
-                raise ValueError(f"TIFF missing required tag {tag}")
-            return default
+            raise ValueError(f"TIFF missing required tag {tag}")
         return v[0]
 
     width, height = one(256), one(257)
     bits = one(258, (16,))
     comp = one(259, (1,))
     spp = one(277, (1,))
-    if comp != 1:
-        raise ValueError(f"compressed TIFF not supported (compression={comp})")
+    pred = one(317, (1,))
+    if comp not in (1, 8, 32946):
+        raise ValueError(f"unsupported TIFF compression={comp} (none/DEFLATE only)")
+    if pred not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor={pred}")
     if spp != 1:
         raise ValueError(f"multi-sample TIFF not supported (spp={spp})")
     if bits not in (8, 16):
         raise ValueError(f"unsupported BitsPerSample={bits}")
-    rows_per_strip = one(278, (height,))
-    offs = tags.get(273)
-    cnts = tags.get(279)
-    if offs is None or cnts is None or len(offs) != len(cnts):
-        raise ValueError("TIFF missing strip offsets/counts")
     dtype = np.dtype(e + ("u2" if bits == 16 else "u1"))
-    rows = []
-    remaining = height
-    for off, cnt in zip(offs, cnts):
+    acc = np.uint16 if bits == 16 else np.uint8
+
+    def segment(off: int, cnt: int, n_rows: int, n_cols: int) -> np.ndarray:
         seg = data[off : off + cnt]
         if len(seg) < cnt:
-            raise ValueError("truncated TIFF strip")
-        n_rows = min(rows_per_strip, remaining)
-        arr = np.frombuffer(seg, dtype, count=n_rows * width).reshape(n_rows, width)
-        rows.append(arr)
-        remaining -= n_rows
-    if remaining != 0:
-        raise ValueError("TIFF strip rows do not cover ImageLength")
-    img = np.vstack(rows)
+            raise ValueError("truncated TIFF segment")
+        if comp != 1:
+            seg = zlib.decompress(seg)
+        arr = np.frombuffer(seg, dtype, count=n_rows * n_cols).reshape(n_rows, n_cols)
+        if pred == 2:
+            # undo horizontal differencing: modulo cumsum in the sample width
+            arr = np.cumsum(arr, axis=1, dtype=acc)
+        return arr
+
+    if 322 in tags or 323 in tags:
+        # tile-organized (COG): tiles are full tile_w x tile_l blocks; edge
+        # padding lies outside ImageWidth/Length and is cropped (§15)
+        tile_w, tile_l = one(322), one(323)
+        offs = tags.get(324)
+        cnts = tags.get(325)
+        if offs is None or cnts is None or len(offs) != len(cnts):
+            raise ValueError("TIFF missing tile offsets/counts")
+        ntx = -(-width // tile_w)
+        nty = -(-height // tile_l)
+        if len(offs) != ntx * nty:
+            raise ValueError("TIFF tile count does not cover the image")
+        img = np.empty((height, width), acc)
+        for i, (off, cnt) in enumerate(zip(offs, cnts)):
+            ty, tx = divmod(i, ntx)
+            t = segment(off, cnt, tile_l, tile_w)
+            y0, x0 = ty * tile_l, tx * tile_w
+            img[y0 : y0 + tile_l, x0 : x0 + tile_w] = t[
+                : min(tile_l, height - y0), : min(tile_w, width - x0)
+            ]
+    else:
+        rows_per_strip = one(278, (height,))
+        offs = tags.get(273)
+        cnts = tags.get(279)
+        if offs is None or cnts is None or len(offs) != len(cnts):
+            raise ValueError("TIFF missing strip offsets/counts")
+        rows = []
+        remaining = height
+        for off, cnt in zip(offs, cnts):
+            n_rows = min(rows_per_strip, remaining)
+            rows.append(segment(off, cnt, n_rows, width))
+            remaining -= n_rows
+        if remaining != 0:
+            raise ValueError("TIFF strip rows do not cover ImageLength")
+        img = np.vstack(rows)
     if bits == 8:
         return (img.astype(np.uint16)) * np.uint16(257)
     return img.astype(np.uint16)
@@ -699,6 +797,7 @@ ENCODERS = {
     "lossy": encode_lossy,
     "jpeg": encode_jpeg,
     "tiff": encode_tiff,
+    "cog": encode_cog,
 }
 DECODERS = {
     "raw": decode_raw,
@@ -708,8 +807,9 @@ DECODERS = {
     "jpg": decode_jpeg,
     "tiff": decode_tiff,
     "tif": decode_tiff,
+    "cog": decode_tiff,
 }
-LOSSLESS = {"raw", "png", "tiff"}
+LOSSLESS = {"raw", "png", "tiff", "cog"}
 
 
 def encode(img: np.ndarray, fmt: str) -> bytes:

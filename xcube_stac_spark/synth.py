@@ -82,7 +82,7 @@ _FMTS = ("raw", "png", "lossy")
 
 #: bump to force regeneration of already-materialized synth dirs when the
 #: generated content changes (checked against the _SUCCESS marker)
-SYNTH_VERSION = 5  # v5: TIFF payloads in the format mix (+v4 full-prec XML)
+SYNTH_VERSION = 6  # v6: tiled+DEFLATE COG payloads in the format mix
 
 ANGLE_GRID_N = 23  # native angle-grid size (reference sen2.py:1031-1032)
 ANGLE_SCALE = 0.01
@@ -238,13 +238,16 @@ def scene_pixels(zone: int, tx: int, ty: int, band_idx: int, day: int, p: SynthP
 
 def _fmt_for(zone: int, tx: int, ty: int, day: int, band_idx: int) -> str:
     mix = zone + tx + 2 * ty + day + band_idx
-    # ~1/8 of spectral payloads are baseline JPEG and ~1/8 uncompressed-strip
-    # TIFF (the reference's bread-and-butter container, constants.py:76-83);
-    # the rest rotate through raw/png/lossy
+    # ~1/8 of spectral payloads are baseline JPEG, ~1/8 uncompressed-strip
+    # TIFF, and ~1/8 tiled+DEFLATE COG (the reference's real-world container
+    # shape, constants.py:76-83, accessors/hls.py:131-140); the rest rotate
+    # through raw/png/lossy
     if mix % 8 == 5:
         return "jpeg"
     if mix % 8 == 2:
         return "tiff"
+    if mix % 8 == 7:
+        return "cog"
     return _FMTS[mix % 3]
 
 
