@@ -80,6 +80,37 @@ def test_ivf_full_probe_equals_brute_force(spark):
     assert full == brute
 
 
+def test_ivf_trainer_is_sample_based_and_deterministic(spark):
+    """The codebook is a pure function of the md5-ordered bounded sample:
+    (a) two trainings agree bit-for-bit with an independent NumPy replica
+    over the same sample; (b) shrinking the sample below the corpus size
+    changes only the training SET, not determinism; (c) k=None applies the
+    sqrt(n) sizing rule."""
+    import hashlib
+
+    from xcube_stac_spark.fixtures import round_half_up
+
+    emb = entry_mod._emb(spark, SF_DIR).select("vec_id", "embedding")
+    rows = emb.collect()
+    ids = np.asarray([r.vec_id for r in rows])
+    V = np.asarray([list(r.embedding) for r in rows], np.float64)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(str(int(ids[i])).encode()).hexdigest(),
+    )
+    for sample_size in (len(ids), 64):
+        got = ann_op.ivf_train(emb, k=4, iters=2, sample_size=sample_size)
+        S = V[order[:sample_size]]
+        exp = ann_op._lloyd_numpy(S.copy(), 4, 2, 6)
+        np.testing.assert_array_equal(got, exp)
+    # sqrt(n) auto-k: 500 vectors -> k=22; clamped by sample_size//4
+    assert ann_op.ivf_k_for(500) == 22
+    assert ann_op.ivf_k_for(10**12) == ann_op.IVF_TRAIN_SAMPLE // 4
+    assert ann_op.ivf_k_for(1) == 1
+    auto = ann_op.ivf_train(emb, k=None, iters=1)
+    assert auto.shape[0] == 22
+
+
 def test_ivf_probe_subsets_and_recall(spark):
     """Partial probing returns a subset of clusters' candidates; recall of
     the true top-10 stays useful at nprobe=3/8 on this corpus."""

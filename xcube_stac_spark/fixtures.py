@@ -52,7 +52,7 @@ PYR_LEVELS = 2
 IVF_QUERY_IDS = (0, 1, 2)
 IVF_TOPK_K = 10
 
-FIXTURE_VERSION = 5  # v2: jpeg rows; v3: pyramid_combined; v4: thumbs/frames; v5: ann_ivf_topk
+FIXTURE_VERSION = 6  # v5: ann_ivf_topk; v6: sample-based IVF trainer
 
 THUMB_W = THUMB_H = 16
 N_FRAMES = 4
@@ -501,13 +501,16 @@ _IVF_SCHEMA = pa.schema(
 
 def _fx_ann_ivf(sf: str, out_dir: str) -> None:
     """Independent NumPy replica of ann.ivf_topk over the driver embeddings
-    table: same md5-ordered init, same first-min L2 assignment, same
-    HALF_UP-rounded per-dim means (absorbing summation-order differences),
-    same stable-sort probe and (cos desc, vec_id) ranking. Skipped when the
-    driver table is absent (bare checkout)."""
+    table: same md5-ordered bounded training sample, same first-min L2
+    assignment, same HALF_UP-rounded per-dim means (absorbing
+    summation-order differences), same stable-sort probe and
+    (cos desc, vec_id) ranking. Skipped when the driver table is absent
+    (bare checkout)."""
     import hashlib
 
-    from xcube_stac_spark.operators.ann import IVF_ITERS, IVF_K, IVF_NPROBE
+    from xcube_stac_spark.operators.ann import (
+        IVF_ITERS, IVF_K, IVF_NPROBE, IVF_TRAIN_SAMPLE,
+    )
 
     path = os.path.join(
         os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), sf, "embeddings.parquet"
@@ -518,12 +521,13 @@ def _fx_ann_ivf(sf: str, out_dir: str) -> None:
     ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
     V = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
     order = sorted(range(len(ids)), key=lambda i: hashlib.md5(str(int(ids[i])).encode()).hexdigest())
-    C = V[order[:IVF_K]].copy()
+    S = V[order[:IVF_TRAIN_SAMPLE]]  # md5-ordered bounded training sample
+    C = S[:IVF_K].copy()
     for _ in range(IVF_ITERS):
-        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         a = np.argmin(d, axis=1)
         for c in range(IVF_K):
-            members = V[a == c]
+            members = S[a == c]
             if len(members):
                 C[c] = [round_half_up(float(x), 6) for x in members.mean(axis=0)]
     d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
