@@ -129,6 +129,22 @@ def main() -> int:
             [r"\bNOSUCHTOKEN\b"],
         ))
 
+    # 8. flagship cube: the mosaic's grouping exchange hashes on the WRITE
+    # key (solar_day, tile_y, tile_x) — NOT on the 4-col group key — so the
+    # partitioned sink never re-shuffles the output planes
+    cube = cube_plan.build_cube(cat, grid, time_range=("2025-06-01", "2025-06-30"), bands=["B02"])
+    p8 = plan_of(cube)
+    checks.append((
+        "build_cube mosaic exchange is write-aligned (PART_COLS subset key)",
+        p8,
+        [r"hashpartitioning\(solar_day#\d+, tile_y#\d+, tile_x#\d+"],
+    ))
+    if re.search(r"hashpartitioning\([^)]*band#", p8):
+        checks.append((
+            "build_cube must not hash-exchange on band", p8,
+            [r"\bNOSUCHTOKEN\b"],
+        ))
+
     failures = []
     lines = [
         "# Physical-plan audit (generated by BENCH/capture_plans.py)\n",

@@ -69,9 +69,10 @@ def measure_throughput(spark, sf: str, tile: int, repeats: int) -> dict:
         n_tiles = cube.count()
         runs.append(time.perf_counter() - t0)
         steals.append(_steal_pct(s0, _cpu_steal()))
-    # output pixels (data = float32 plane): not timed, pure accounting
+    # output pixels (npix = tile pixel count; planes are zlib-deflated so
+    # octet_length no longer equals 4*pixels): not timed, pure accounting
     cube = cube_plan.build_cube(cat, grid, time_range=TIME_RANGE, bands=BANDS)
-    out_px = cube.agg(F.sum(F.octet_length("data") / 4)).collect()[0][0]
+    out_px = cube.agg(F.sum("npix")).collect()[0][0]
     best = min(runs)
     return {
         "sf": sf,

@@ -108,6 +108,9 @@ def run_bench() -> dict:
             q_runs.append(time.perf_counter() - t0)
         timings[name] = round(min(q_runs), 3)
 
+    if RUN_QUERIES:
+        timings.update(_skew_join_bench(spark))
+
     tiles_per_sec = n_tiles / cube_sec if cube_sec > 0 else 0.0
     return {
         "metric": "flagship cube build (spatial-join+decode+regrid+mosaic) wall time",
@@ -126,6 +129,58 @@ def run_bench() -> dict:
         "cpu_steal_pct": steals,
         **_headroom_summary(),
     }
+
+
+def _skew_join_bench(spark) -> dict:
+    """Hot-cell stress (VERDICT r03 #4): one cell at ~50x density,
+    deterministic in-memory world (no external data). Times the plain
+    shuffle join vs salted_cell_join with broadcast + AQE skew handling
+    disabled, so the numbers isolate the engine's own skew answer. The
+    same-rows equivalence is asserted by test_spatial.py; here we record
+    wall time for both paths."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from xcube_stac_spark.operators import spatial as sp
+
+    hot_cell, n_hot, n_cold_cells = 7, 400_000, 512
+    big = spark.range(n_hot).select(
+        F.lit(hot_cell).alias("cell"), F.col("id").alias("item")
+    ).unionAll(
+        spark.range(16 * n_cold_cells).select(
+            (F.col("id") % n_cold_cells + 1000).cast("int").alias("cell"),
+            (F.col("id") + n_hot).alias("item"),
+        )
+    )
+    small = spark.range(n_cold_cells + 1).select(
+        F.when(F.col("id") == 0, hot_cell)
+        .otherwise(F.col("id") - 1 + 1000)
+        .cast("int").alias("cell")
+    )
+    conf = spark.conf
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+    }
+    out = {}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        for name, df in (
+            ("skew_join_unsalted", big.join(small, "cell")),
+            ("skew_join_salted", sp.salted_cell_join(big, small, on="cell", salt=8)),
+        ):
+            runs = []
+            for _ in range(REPEATS):
+                t0 = _t.perf_counter()
+                df.count()
+                runs.append(_t.perf_counter() - t0)
+            out[name] = round(min(runs), 3)
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    return out
 
 
 def _headroom_summary() -> dict:

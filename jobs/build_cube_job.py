@@ -71,7 +71,13 @@ def _run_per_day(spark, cat, grid, args, bbox, attrs) -> dict:
             cat, grid, bbox=bbox, time_range=(w0, w1), bands=args.bands,
             collections=args.collections,
         ).where(F.col("solar_day") == F.lit(d).cast("date"))
-        m = lineage.write_cube(day_cube, args.out, resume=args.resume)
+        day_exp = cube_plan.expected_partitions(
+            cat, grid, bbox=bbox, time_range=(w0, w1), bands=args.bands,
+            collections=args.collections,
+        ).where(F.col("solar_day") == F.lit(d).cast("date"))
+        m = lineage.write_cube(
+            day_cube, args.out, resume=args.resume, expected_partitions=day_exp
+        )
         print(json.dumps({"day": d, **m}), flush=True)
         total["written_partitions"] += m["written_partitions"]
         total["elapsed_sec"] = round(total["elapsed_sec"] + m["elapsed_sec"], 3)
@@ -135,7 +141,15 @@ def main(argv=None) -> int:
             time_range=tuple(args.time_range), bands=args.bands,
             collections=args.collections,
         )
-        metrics = lineage.write_cube(cube, args.out, resume=args.resume, attrs=attrs)
+        exp = cube_plan.expected_partitions(
+            cat, grid, bbox=(xmin, ymin, xmax, ymax),
+            time_range=tuple(args.time_range), bands=args.bands,
+            collections=args.collections,
+        )
+        metrics = lineage.write_cube(
+            cube, args.out, resume=args.resume, attrs=attrs,
+            expected_partitions=exp,
+        )
     if args.levels > 0:
         base = lineage.read_cube(spark, args.out)
         pyr_df = pyr.build_pyramid(base, grid, args.levels)

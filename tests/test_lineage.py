@@ -101,3 +101,96 @@ def test_metrics_content(spark, small_cube, tmp_path):
     ms = lineage.metrics(out)
     assert ms and all(m["n_rows"] >= 1 and m["bytes"] > 0 for m in ms)
     assert all("lineage" in m and m["lineage"] for m in ms)
+
+
+@pytest.fixture(scope="module")
+def small_expected(spark, sf0001_dir):
+    grid = synth.default_grid("sf0.001")
+    cat = SceneCatalog(spark, sf0001_dir)
+    return cube_plan.expected_partitions(cat, grid, time_range=TR, bands=BANDS)
+
+
+def test_fused_write_matches_legacy(spark, small_cube, small_expected, tmp_path):
+    """expected_partitions switches on the single-pass fused write; its
+    store content and commit metrics must equal the legacy two-pass path."""
+    leg, fus = str(tmp_path / "leg"), str(tmp_path / "fus")
+    m1 = lineage.write_cube(small_cube, leg)
+    m2 = lineage.write_cube(small_cube, fus, expected_partitions=small_expected)
+    assert m1["written_partitions"] == m2["written_partitions"] > 0
+
+    def snap(path):
+        return {
+            (str(r.solar_day), r.band, r.tile_y, r.tile_x,
+             bytes(r.data), r.n_scenes, r.item_ids)
+            for r in lineage.read_cube(spark, path).collect()
+        }
+
+    assert snap(leg) == snap(fus)
+    key = lambda m: (m["solar_day"], m["tile_y"], m["tile_x"])
+    ml = {key(m): (m["n_rows"], m["bytes"], m["n_scene_tiles"], m["lineage"])
+          for m in lineage.metrics(leg)}
+    mf = {key(m): (m["n_rows"], m["bytes"], m["n_scene_tiles"], m["lineage"])
+          for m in lineage.metrics(fus)}
+    assert ml == mf
+    # metadata-only expected set == partitions actually produced
+    exp = {(str(r.solar_day), r.tile_y, r.tile_x)
+           for r in small_expected.collect()}
+    assert exp == {k for k in ml}
+
+
+def test_fused_resume_skips_and_refills(spark, small_cube, small_expected, tmp_path):
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "fused_resume")
+    m1 = lineage.write_cube(small_cube, out, expected_partitions=small_expected)
+    assert m1["written_partitions"] > 0
+    # fully committed → the fused path exits on metadata alone (0 partitions)
+    m2 = lineage.write_cube(small_cube, out, expected_partitions=small_expected)
+    assert m2["written_partitions"] == 0
+    # drop 3 partitions from the commit → fused resume recommits exactly 3
+    d = lineage._log_dir(out)
+    commit = [f for f in os.listdir(d) if f.startswith("commit-")][0]
+    cpath = os.path.join(d, commit)
+    tbl = pq.read_table(cpath)
+    shutil.rmtree(cpath)
+    pq.write_table(tbl.slice(0, tbl.num_rows - 3), cpath)
+    m3 = lineage.write_cube(small_cube, out, expected_partitions=small_expected)
+    assert m3["written_partitions"] == 3
+    assert lineage.committed_partitions(spark, out).count() == tbl.num_rows
+
+
+def test_concurrent_writes_commit_the_union(spark, small_cube, small_expected, tmp_path):
+    """Two concurrent write_cube calls on the SAME path with DISJOINT day
+    subsets: the atomic-rename publishes and dynamic partition overwrite
+    must interleave without lost updates — both commits land and
+    committed_partitions is the union."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    out = str(tmp_path / "concurrent")
+    days = sorted(str(r[0]) for r in small_expected.select("solar_day").distinct().collect())
+    assert len(days) >= 2
+    half_a, half_b = days[: len(days) // 2], days[len(days) // 2 :]
+
+    def write(day_subset):
+        sub = small_cube.where(F.col("solar_day").cast("string").isin(day_subset))
+        exp = small_expected.where(
+            F.col("solar_day").cast("string").isin(day_subset)
+        )
+        return lineage.write_cube(sub, out, resume=False, expected_partitions=exp)
+
+    with ThreadPoolExecutor(2) as pool:
+        fa = pool.submit(write, half_a)
+        fb = pool.submit(write, half_b)
+        ma, mb = fa.result(), fb.result()
+    assert ma["written_partitions"] > 0 and mb["written_partitions"] > 0
+    want = {(str(r.solar_day), r.tile_y, r.tile_x) for r in small_expected.collect()}
+    got = {(str(r.solar_day), r.tile_y, r.tile_x)
+           for r in lineage.committed_partitions(spark, out).collect()}
+    assert got == want
+    assert ma["written_partitions"] + mb["written_partitions"] == len(want)
+    # the data itself is complete: one row set per expected partition
+    back = lineage.read_cube(spark, out)
+    assert {(str(r.solar_day), r.tile_y, r.tile_x)
+            for r in back.select("solar_day", "tile_y", "tile_x").distinct().collect()} == want

@@ -77,11 +77,14 @@ def test_per_day_crash_resume_skips_committed_days(spark, sf0001_dir, tmp_path, 
     real_write = lineage.write_cube
     calls = {"n": 0}
 
-    def dying_write(cube, path, attrs=None, resume=True):
+    def dying_write(cube, path, attrs=None, resume=True, expected_partitions=None):
         if calls["n"] >= 2:
             raise RuntimeError("injected crash after 2 committed days")
         calls["n"] += 1
-        return real_write(cube, path, attrs=attrs, resume=resume)
+        return real_write(
+            cube, path, attrs=attrs, resume=resume,
+            expected_partitions=expected_partitions,
+        )
 
     # _run_per_day resolves lineage.write_cube at call time on the shared
     # module object, so patching the module attribute reaches the job

@@ -193,6 +193,57 @@ def test_collections_metadata(cat):
     assert r.collection == "syn-l2a" and r.n_items > 0 and r.xmin < r.xmax
 
 
+def test_salted_cell_join_bounds_hot_cell_tasks(spark):
+    """Skewed world: one hot cell at ~50x the density of every other cell
+    (a megacity tile). Forced to a shuffle join with AQE's skew splitter
+    off (it needs multi-MB partitions to trigger; row-count skew at
+    catalog-metadata widths flies under it), the UNSALTED join funnels the
+    whole hot cell through one reduce task while the salted join splits it
+    ``salt`` ways — same result rows, bounded max task input."""
+    from xcube_stac_spark.operators import spatial as sp
+
+    hot_cell, n_hot, n_cold_cells = 7, 20_000, 100
+    big = spark.range(n_hot).select(
+        F.lit(hot_cell).alias("cell"), F.col("id").alias("item")
+    ).unionAll(
+        spark.range(4 * n_cold_cells).select(
+            (F.col("id") % n_cold_cells + 1000).alias("cell").cast("int").alias("cell"),
+            (F.col("id") + n_hot).alias("item"),
+        )
+    )
+    small = spark.range(n_cold_cells + 1).select(
+        F.when(F.col("id") == 0, hot_cell)
+        .otherwise(F.col("id") - 1 + 1000)
+        .cast("int").alias("cell")
+    )
+    conf = spark.conf
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.enabled", "false")
+
+        def max_task_rows(df):
+            sizes = (
+                df.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid").count().collect()
+            )
+            return max(r["count"] for r in sizes)
+
+        plain = big.join(small, "cell")
+        salted = sp.salted_cell_join(big, small, on="cell", salt=8)
+        assert plain.count() == salted.count() == n_hot + 4 * n_cold_cells
+        m_plain, m_salt = max_task_rows(plain), max_task_rows(salted)
+        # unsalted: the whole hot cell in one task; salted: split 8 ways
+        assert m_plain >= n_hot
+        assert m_salt <= n_hot / 4
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
 def test_salted_cell_join_rejects_outer(spark):
     import pytest as _pytest
 

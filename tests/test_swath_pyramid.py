@@ -97,10 +97,10 @@ def test_pyramid_levels(spark, sf0001_dir):
         for dx in (0, 1):
             key = (r1.solar_day, r1.band, 2 * r1.tile_y + dy, 2 * r1.tile_x + dx)
             if key in lvl0:
-                child = np.frombuffer(lvl0[key], np.float32).reshape(th, tw)
+                child = tiles_op.tile_to_array(lvl0[key], th, tw)
                 small = pyr_op._halve(child)
                 parent[dy * th // 2 : (dy + 1) * th // 2, dx * tw // 2 : (dx + 1) * tw // 2] = small
-    got = np.frombuffer(r1.data, np.float32).reshape(th, tw)
+    got = tiles_op.tile_to_array(r1.data, th, tw)
     both_nan = np.isnan(got) & np.isnan(parent)
     np.testing.assert_array_equal(got[~both_nan], parent[~both_nan])
 

@@ -58,11 +58,23 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def encode_png(img: np.ndarray) -> bytes:
+    """16-bit PNG: grayscale (color type 0) for 2-D input, truecolor RGB
+    (color type 2) for channel-major (3, h, w) input."""
     img = np.ascontiguousarray(img, dtype=np.uint16)
-    h, w = img.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)  # 16-bit grayscale
-    rows = img.astype(">u2").tobytes()
-    stride = w * 2
+    if img.ndim == 3:
+        if img.shape[0] != 3:
+            raise ValueError(f"RGB PNG input must be (3, h, w), got {img.shape}")
+        _, h, w = img.shape
+        colortype, ch = 2, 3
+        # channel-major → PNG's interleaved sample order
+        pix = np.transpose(img, (1, 2, 0))
+    else:
+        h, w = img.shape
+        colortype, ch = 0, 1
+        pix = img[:, :, None]
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, colortype, 0, 0, 0)
+    rows = np.ascontiguousarray(pix).astype(">u2").tobytes()
+    stride = w * 2 * ch
     # filter byte 0 (None) prepended per scanline
     raw = b"".join(
         b"\x00" + rows[r * stride : (r + 1) * stride] for r in range(h)
@@ -101,9 +113,10 @@ def decode_png(data: bytes, w: int | None = None, h: int | None = None) -> np.nd
             idat += payload
         elif tag == b"IEND":
             break
-    if colortype != 0 or bitdepth not in (8, 16):
+    if colortype not in (0, 2) or bitdepth not in (8, 16):
         raise ValueError(f"unsupported PNG (colortype={colortype} depth={bitdepth})")
-    bpp = bitdepth // 8
+    ch = 3 if colortype == 2 else 1
+    bpp = (bitdepth // 8) * ch
     stride = width * bpp
     raw = zlib.decompress(bytes(idat))
     out = np.zeros((height, stride), dtype=np.uint8)
@@ -141,9 +154,13 @@ def decode_png(data: bytes, w: int | None = None, h: int | None = None) -> np.nd
         out[r] = cur
         prev = cur
     if bitdepth == 16:
-        img = out.reshape(height, width, 2)
-        return (img[:, :, 0].astype(np.uint16) << 8) | img[:, :, 1]
-    return out.reshape(height, width).astype(np.uint16)
+        img = out.reshape(height, width, ch, 2)
+        img16 = (img[:, :, :, 0].astype(np.uint16) << 8) | img[:, :, :, 1]
+    else:
+        img16 = out.reshape(height, width, ch).astype(np.uint16)
+    if ch == 1:
+        return img16[:, :, 0]
+    return np.ascontiguousarray(np.transpose(img16, (2, 0, 1)))  # (3, h, w)
 
 
 # ---------------------------------------------------------------------------

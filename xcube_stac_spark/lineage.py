@@ -122,6 +122,7 @@ def write_cube(
     path: str,
     attrs: dict | None = None,
     resume: bool = True,
+    expected_partitions: DataFrame | None = None,
 ) -> dict:
     """Write cube tiles partitioned by (solar_day, tile_y, tile_x); after a
     successful write, the commit log gains one JSON line PER PARTITION with
@@ -147,6 +148,21 @@ def write_cube(
     log, and publishing a commit is a single rename of that staged parquet
     table — O(1) driver work at any partition count. The only driver-side
     numbers are the run totals (partition count, elapsed), one row per call.
+
+    ``expected_partitions`` — a (solar_day, tile_y, tile_x) DataFrame of the
+    partitions this run is REQUESTED to cover, derivable from metadata alone
+    (plans.cube.expected_partitions: scene search x grid assignment, no
+    pixel decode) — switches on the FUSED single-pass path: the cube
+    pipeline executes exactly ONCE straight into the parquet sink (no
+    persist of full planes, no second metrics read of them), and the commit
+    metrics are aggregated from the files just written via a COLUMN-PRUNED
+    read-back (part cols + the tiny precomputed ``data_bytes`` column — the
+    pixel payload column is never touched again). Restricting the read-back
+    to expected-and-not-previously-committed partitions makes it exactly
+    this run's output: every such partition was fully rewritten by this run
+    (dynamic partition overwrite replaces whole partition dirs), so partial
+    files from any earlier crashed run can't leak into a commit. Without
+    ``expected_partitions`` the legacy persist+two-pass path runs.
     """
     spark = cube.sparkSession
     os.makedirs(_log_dir(path), exist_ok=True)
@@ -155,6 +171,10 @@ def write_cube(
     t0 = time.perf_counter()
     run_id = uuid.uuid4().hex[:12]
     staging = os.path.join(_log_dir(path), "_staging", run_id)
+    if expected_partitions is not None:
+        return _write_cube_fused(
+            cube, path, expected_partitions, resume, t0, run_id, staging
+        )
     todo = pending_partitions(cube, path) if resume else cube
     # DISK_ONLY, not the MEMORY_AND_DISK default: the persisted rows are the
     # FINAL pixel planes (tile-sized binaries — ~16 MB/row at the native
@@ -190,9 +210,12 @@ def write_cube(
             return {"written_partitions": 0, "elapsed_sec": 0.0, "resumed": True}
 
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # no repartition here: mosaic_take_first already hash-partitions its
+        # output on exactly this write key (write_aligned default), so a
+        # shuffle of the full planes would be pure extra byte movement;
+        # non-mosaic inputs just produce a few more files per partition dir
         (
             todo.withColumn("solar_day", F.col("solar_day").cast("string"))
-            .repartition(*PART_COLS)
             .write.mode("overwrite")
             .partitionBy(*PART_COLS)
             .parquet(path)
@@ -202,6 +225,13 @@ def write_cube(
     # publish: the staged metrics table BECOMES the commit record atomically;
     # a crash before this rename leaves only ignorable staging (data
     # partitions are then recomputed and overwritten idempotently)
+    return _publish_commit(path, staging, run_id, n_parts, t0, resume)
+
+
+def _publish_commit(path: str, staging: str, run_id: str, n_parts: int,
+                    t0: float, resume: bool) -> dict:
+    """Atomic rename of the staged metrics table into the commit log +
+    run-totals bookkeeping (shared by both write paths)."""
     os.rename(staging, os.path.join(_log_dir(path), f"commit-{run_id}.parquet"))
     elapsed = time.perf_counter() - t0
     run_row = {
@@ -214,6 +244,79 @@ def write_cube(
     with open(os.path.join(_log_dir(path), "runs.jsonl"), "a") as f:
         f.write(json.dumps(run_row) + "\n")
     return run_row
+
+
+def _write_cube_fused(
+    cube: DataFrame,
+    path: str,
+    expected_partitions: DataFrame,
+    resume: bool,
+    t0: float,
+    run_id: str,
+    staging: str,
+) -> dict:
+    """Single-pipeline-execution write (see write_cube docstring): data
+    write first (the only pass over pixel planes), then commit metrics from
+    a column-pruned read-back of the written store."""
+    spark = cube.sparkSession
+    done = committed_partitions(spark, path)
+    have_commits = not done.isEmpty()
+    exp = expected_partitions.select(
+        F.to_date(F.col("solar_day").cast("string")).alias("solar_day"),
+        F.col("tile_y").cast("int").alias("tile_y"),
+        F.col("tile_x").cast("int").alias("tile_x"),
+    ).distinct()
+    if resume and have_commits:
+        exp = exp.join(F.broadcast(done), PART_COLS, "left_anti")
+    exp = exp.persist()  # one row per partition key — tiny at any cube size
+    try:
+        if exp.isEmpty():
+            return {"written_partitions": 0, "elapsed_sec": 0.0, "resumed": True}
+        todo = cube
+        if resume and have_commits:
+            todo = todo.join(F.broadcast(done), PART_COLS, "left_anti")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            todo.withColumn("solar_day", F.col("solar_day").cast("string"))
+            .withColumn("data_bytes", F.octet_length("data"))
+            .write.mode("overwrite")
+            .partitionBy(*PART_COLS)
+            .parquet(path)
+        )
+        # metrics/lineage from the just-written files: parquet column
+        # pruning means the plane payload column is NEVER read here —
+        # only partition values and the small metric columns
+        rb = (
+            spark.read.option("mergeSchema", "true").parquet(path)
+            .select(
+                F.to_date(F.col("solar_day").cast("string")).alias("solar_day"),
+                F.col("tile_y").cast("int").alias("tile_y"),
+                F.col("tile_x").cast("int").alias("tile_x"),
+                "n_scenes", "item_ids", "data_bytes",
+            )
+            .join(F.broadcast(exp), PART_COLS, "left_semi")
+        )
+        (
+            rb.groupBy(*PART_COLS)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("data_bytes").alias("bytes"),
+                F.sum("n_scenes").alias("n_scene_tiles"),
+                F.array_join(
+                    F.array_sort(F.collect_set("item_ids")), ";"
+                ).alias("lineage"),
+            )
+            .withColumn("solar_day", F.col("solar_day").cast("string"))
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        n_parts = spark.read.parquet(staging).count()
+    finally:
+        exp.unpersist()
+    if n_parts == 0:
+        return {"written_partitions": 0, "elapsed_sec": 0.0, "resumed": True}
+    return _publish_commit(path, staging, run_id, n_parts, t0, resume)
 
 
 def read_cube(spark: SparkSession, path: str) -> DataFrame:

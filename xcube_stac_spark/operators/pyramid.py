@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from xcube_stac_spark.gridspec import GridSpec
+from xcube_stac_spark.operators import tiles as tiles_mod
 
 LEVEL_SCHEMA = T.StructType(
     [
@@ -69,7 +70,7 @@ def next_level(cube: DataFrame, child_grid: GridSpec) -> DataFrame:
         parent = np.full((prows, pcols), np.nan, dtype=np.float32)
         for r in pdf.itertuples(index=False):
             crows, ccols = child.tile_shape(int(r.tile_x), int(r.tile_y))
-            arr = np.frombuffer(r.data, np.float32).reshape(crows, ccols)
+            arr = tiles_mod.tile_to_array(r.data, crows, ccols)
             canvas = np.full((child.tile_h, child.tile_w), np.nan, np.float32)
             canvas[:crows, :ccols] = arr
             small = _halve(canvas)
@@ -84,7 +85,7 @@ def next_level(cube: DataFrame, child_grid: GridSpec) -> DataFrame:
                 "band": [pdf["band"].iloc[0]],
                 "tile_y": [pty],
                 "tile_x": [ptx],
-                "data": [parent.tobytes()],
+                "data": [tiles_mod.encode_plane(parent)],
                 "valid_frac": [float(finite.mean())],
             }
         )

@@ -622,6 +622,7 @@ MOSAIC_SCHEMA = T.StructType(
         T.StructField("tile_y", T.IntegerType()),
         T.StructField("tile_x", T.IntegerType()),
         T.StructField("data", T.BinaryType()),
+        T.StructField("npix", T.IntegerType()),
         T.StructField("n_scenes", T.IntegerType()),
         T.StructField("item_ids", T.StringType()),
         T.StructField("valid_frac", T.DoubleType()),
@@ -629,8 +630,29 @@ MOSAIC_SCHEMA = T.StructType(
     ]
 )
 
+#: zlib level for at-rest/persisted cube planes: level 1 trades ~5% ratio
+#: for ~3x the speed of level 6 — the plane path is DRAM-bound, not
+#: ratio-bound (BENCH/WINDOWS.md: sf1-native sat at the bytes-kernel
+#: ceiling), so cheap-and-fast is the right point
+PLANE_ZLIB_LEVEL = 1
 
-def mosaic_take_first(tiles: DataFrame, order: str = "first") -> DataFrame:
+
+def encode_plane(arr: np.ndarray) -> bytes:
+    """Cube plane payload encoding: zlib(float32 C-order bytes).
+
+    The mosaic's float32 output plane is ~16 MB at the reference-native
+    2048-px tile and used to move RAW through persist + shuffle + parquet —
+    the measured DRAM bottleneck of the sf1-native shape. NaN-masked cube
+    planes deflate 2-10x (NaN runs and smooth DN content), cutting every
+    downstream byte movement by the same factor. Deterministic: CPython's
+    zlib at a fixed level produces identical bytes for identical input, so
+    digest-based kill/resume comparisons still hold."""
+    return zlib.compress(np.ascontiguousarray(arr, np.float32).tobytes(), PLANE_ZLIB_LEVEL)
+
+
+def mosaic_take_first(
+    tiles: DataFrame, order: str = "first", write_aligned: bool = True
+) -> DataFrame:
     """Grouped take-first mosaic over (solar_day, band, tile_y, tile_x) —
     the pixel core of the reference's ``mosaic_spatial_take_first``
     (utils.py:746-758: argmax over the non-fill mask + da.choose), assembled
@@ -650,7 +672,16 @@ def mosaic_take_first(tiles: DataFrame, order: str = "first") -> DataFrame:
     ``order="last"`` flips priority: LAST valid wins — the update-merge /
     combine_first-reversed semantics (U3 utils.py:716-720, J10
     hls.py:496-500); used by the multi-res merge (J7, utils.py:652-706)
-    where finer-resolution datasets update coarser ones."""
+    where finer-resolution datasets update coarser ones.
+
+    ``write_aligned`` (default): the grouping exchange hashes on the WRITE
+    partition key (solar_day, tile_y, tile_x) — a strict subset of the
+    group key, which still satisfies the groupBy's clustering requirement
+    (all bands of a tile land in one task; verified single-Exchange by
+    test) — so the downstream partitioned write needs NO second shuffle of
+    the full output planes. That plane shuffle was the dominant byte mover
+    of the sf1-native shape: window rows (compressed DN+mask, the smallest
+    representation in the pipeline) are what crosses the wire instead."""
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
@@ -680,7 +711,8 @@ def mosaic_take_first(tiles: DataFrame, order: str = "first") -> DataFrame:
                 "band": [pdf["band"].iloc[0]],
                 "tile_y": [pdf["tile_y"].iloc[0]],
                 "tile_x": [pdf["tile_x"].iloc[0]],
-                "data": [out.tobytes()],
+                "data": [encode_plane(out)],
+                "npix": [th * tw],
                 "n_scenes": [len(pdf)],
                 "item_ids": [",".join(pdf["item_id"].tolist())],
                 "valid_frac": [float(finite.mean())],
@@ -688,7 +720,12 @@ def mosaic_take_first(tiles: DataFrame, order: str = "first") -> DataFrame:
             }
         )
 
-    return tiles.groupBy("solar_day", "band", "tile_y", "tile_x").applyInPandas(
+    keyed = (
+        tiles.repartition("solar_day", "tile_y", "tile_x")
+        if write_aligned
+        else tiles
+    )
+    return keyed.groupBy("solar_day", "band", "tile_y", "tile_x").applyInPandas(
         merge, MOSAIC_SCHEMA
     )
 
@@ -724,5 +761,11 @@ def pivot_bands(df: DataFrame, bands: Sequence[str], value_col: str, group_cols:
 
 
 def tile_to_array(data: bytes, rows: int, cols: int) -> np.ndarray:
-    """Decode a cube tile payload back to (rows, cols) float32."""
-    return np.frombuffer(data, dtype=np.float32).reshape(rows, cols)
+    """Decode a cube tile payload back to (rows, cols) float32.
+
+    Planes are zlib-deflated (encode_plane); a payload whose length equals
+    the raw float32 size is accepted as legacy-raw (pre-compression cubes,
+    rectify_swath planes)."""
+    if len(data) == rows * cols * 4:
+        return np.frombuffer(data, dtype=np.float32).reshape(rows, cols)
+    return np.frombuffer(zlib.decompress(data), dtype=np.float32).reshape(rows, cols)

@@ -115,6 +115,39 @@ def scene_images(
     )
 
 
+def expected_partitions(
+    cat: SceneCatalog,
+    grid: GridSpec,
+    bbox: Sequence[float] | None = None,
+    time_range: tuple[str, str] | None = None,
+    bands: Sequence[str] | None = None,
+    collections: Sequence[str] | None = None,
+    query: dict | None = None,
+) -> DataFrame:
+    """The (solar_day, tile_y, tile_x) partition keys a build_cube call with
+    the same arguments will cover — computed from METADATA ALONE (scene
+    search x grid-tile assignment; Catalyst prunes the pixel ``bytes``
+    column out of the scan entirely). Feed this to
+    ``lineage.write_cube(..., expected_partitions=...)`` to enable the
+    fused single-pass write (see its docstring)."""
+    if bbox is None:
+        bbox = grid.bbox()
+    if time_range is None:
+        time_range = ("1970-01-01", "2100-01-01")
+    scenes = select_scenes(cat, bbox, time_range, collections, query)
+    imgs = scene_images(cat, scenes, bands)
+    assigned = tiles.assign_grid_tiles(imgs, grid)
+    return (
+        assigned.select("solar_day", F.explode("grid_tiles").alias("t"))
+        .select(
+            "solar_day",
+            F.col("t.tile_y").alias("tile_y"),
+            F.col("t.tile_x").alias("tile_x"),
+        )
+        .distinct()
+    )
+
+
 def build_cube(
     cat: SceneCatalog,
     grid: GridSpec,

@@ -193,10 +193,16 @@ def run_incremental_cube(
         # midnight lands on an adjacent UTC date, so the range is widened by
         # ±1 day (solar offset is bounded by ±12 h) — the where() below
         # still restricts the OUTPUT to exactly the dirty partitions
+        tr = recompute_time_range(dirty_days)
         cube = cube_plan.build_cube(
-            cat, grid, time_range=recompute_time_range(dirty_days), bands=bands,
+            cat, grid, time_range=tr, bands=bands,
         ).where(F.col("solar_day").isin(dirty_days))
-        m = lineage.write_cube(cube, out_path, resume=False)
+        exp = cube_plan.expected_partitions(
+            cat, grid, time_range=tr, bands=bands,
+        ).where(F.col("solar_day").isin(dirty_days))
+        m = lineage.write_cube(
+            cube, out_path, resume=False, expected_partitions=exp
+        )
         if on_batch:
             on_batch(epoch_id, m["written_partitions"])
 
