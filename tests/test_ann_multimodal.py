@@ -187,8 +187,9 @@ def test_image_stats_matches_numpy(spark):
         assert abs(r.mean - img.mean()) < 1e-9
         assert abs(r.std - img.std()) < 1e-9
         # the recomputed hash must equal the hash of the decoded pixels in
-        # every format (the engine's phash_calc is correct)
-        assert r.phash_calc == codecs.phash64(img), r.image_id
+        # every format (the engine's phash_calc is correct); RGB rows hash
+        # their luminance
+        assert r.phash_calc == codecs.phash64_any(img), r.image_id
         if r.fmt in codecs.LOSSLESS:
             assert r.phash_hamming == 0, r.image_id
         elif r.fmt == "lossy":
@@ -377,6 +378,34 @@ def test_ivf_layout_probe_prunes_partitions_and_matches_ivf(spark, tmp_path):
             d = ((C - qv) ** 2).sum(axis=1)
             probed |= set(np.argsort(d, kind="stable")[: ann_op.IVF_NPROBE].tolist())
         assert int(m.group(1)) == len(probed) <= ann_op.IVF_K
+
+
+def test_rgb_rows_decode_channel_major_and_verify(spark):
+    """RGB multimodal rows (PNG color type 2, channel-major (3,h,w)): in
+    the corpus, losslessly decoded, stats over all samples, pHash over the
+    luminance (hamming 0), thumbnails carrying 3 channels."""
+    sdir = synth.generate("sf0.001")
+    cat = SceneCatalog(spark, sdir)
+    rgb = cat.images().where(F.col("image_id").startswith("RGB"))
+    rows = rgb.limit(4).collect()
+    assert rows, "synth corpus must include RGB rows"
+    decoded = codecs.decode(bytes(rows[0].bytes), rows[0].fmt, rows[0].w, rows[0].h)
+    assert decoded.ndim == 3 and decoded.shape[0] == 3
+    stats = mm_op.image_stats(rgb).collect()
+    assert stats and all(r.phash_hamming == 0 for r in stats)
+    by_id = {r.image_id: r for r in stats}
+    img = decoded.astype(np.float64)
+    np.testing.assert_allclose(by_id[rows[0].image_id].mean, img.mean())
+    np.testing.assert_allclose(by_id[rows[0].image_id].std, img.std())
+    t = mm_op.thumbnails(rgb.limit(1), tw=8, th=8).collect()[0]
+    thumb = np.frombuffer(t.thumb, np.uint16)
+    assert thumb.size == 3 * 8 * 8  # three channels, channel-major
+    # channel 0 of the thumb equals the block-mean of channel 0
+    c0 = img[0]
+    exp0 = c0.reshape(8, c0.shape[0] // 8, 8, c0.shape[1] // 8).mean(axis=(1, 3))
+    np.testing.assert_array_equal(
+        thumb.reshape(3, 8, 8)[0], np.round(exp0).astype(np.uint16)
+    )
 
 
 def test_tiff_is_supported_and_in_corpus(spark):

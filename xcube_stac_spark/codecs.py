@@ -876,3 +876,17 @@ def phash64(img: np.ndarray) -> int:
         val = (val << 1) | int(b)
     # 63 bits used; keep sign bit clear → always fits int64
     return int(val)
+
+
+def luma(img: np.ndarray) -> np.ndarray:
+    """Channel-mean luminance of a channel-major (3, h, w) image; 2-D
+    grayscale passes through unchanged (float64 either way for downstream
+    math)."""
+    img = np.asarray(img, np.float64)
+    return img if img.ndim == 2 else img.mean(axis=0)
+
+
+def phash64_any(img: np.ndarray) -> int:
+    """phash64 over the luminance — works for both grayscale (h, w) and
+    channel-major RGB (3, h, w) arrays."""
+    return phash64(luma(img))

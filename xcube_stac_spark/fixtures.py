@@ -182,7 +182,7 @@ def _fx_image_stats(sdir: str, out_dir: str) -> None:
     rows, trows, frows = [], [], []
     for r in images.itertuples(index=False):
         img = codecs.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h)).astype(np.float64)
-        ph = codecs.phash64(img)
+        ph = codecs.phash64_any(img)
         rows.append(
             {
                 "image_id": r.image_id,
@@ -193,12 +193,14 @@ def _fx_image_stats(sdir: str, out_dir: str) -> None:
             }
         )
         # block-mean thumbnail, identical math to multimodal.thumbnails
-        h, w = img.shape
+        # (channel-major; gray = 1-channel stack, RGB keeps 3 channels)
+        arr = img if img.ndim == 3 else img[None]
+        ch, h, w = arr.shape
         pad_h, pad_w = (-h) % THUMB_H, (-w) % THUMB_W
-        padded = np.pad(img, ((0, pad_h), (0, pad_w)), mode="edge")
+        padded = np.pad(arr, ((0, 0), (0, pad_h), (0, pad_w)), mode="edge")
         small = padded.reshape(
-            THUMB_H, padded.shape[0] // THUMB_H, THUMB_W, padded.shape[1] // THUMB_W
-        ).mean(axis=(1, 3))
+            ch, THUMB_H, padded.shape[1] // THUMB_H, THUMB_W, padded.shape[2] // THUMB_W
+        ).mean(axis=(2, 4))
         thumb = np.round(small).astype(np.uint16).tobytes()
         trows.append(
             {
@@ -208,13 +210,14 @@ def _fx_image_stats(sdir: str, out_dir: str) -> None:
                 "thumb_md5": hashlib.md5(thumb).hexdigest(),
             }
         )
-        idxs = np.linspace(0, img.shape[0] - 1, N_FRAMES).astype(int)
+        lum = codecs.luma(img)
+        idxs = np.linspace(0, lum.shape[0] - 1, N_FRAMES).astype(int)
         for k, i in enumerate(idxs):
             frows.append(
                 {
                     "image_id": r.image_id,
                     "frame_idx": k,
-                    "frame_row_mean": round_half_up(float(img[i].mean()), 6),
+                    "frame_row_mean": round_half_up(float(lum[i].mean()), 6),
                 }
             )
     _write(out_dir, "image_stats", rows, _STATS_SCHEMA)

@@ -71,7 +71,9 @@ def image_stats(images: DataFrame) -> DataFrame:
             out = {k.name: [] for k in STATS_SCHEMA.fields}
             for r in pdf.itertuples(index=False):
                 img = _decode_any(bytes(r.bytes), r.fmt, int(r.w), int(r.h)).astype(np.float64)
-                ph = codecs.phash64(img)
+                # RGB rows decode channel-major (3, h, w): stats run over
+                # all samples, pHash over the luminance
+                ph = codecs.phash64_any(img)
                 out["image_id"].append(r.image_id)
                 out["w"].append(int(r.w))
                 out["h"].append(int(r.h))
@@ -109,10 +111,15 @@ def thumbnails(images: DataFrame, tw: int = 16, th: int = 16) -> DataFrame:
             out = {k.name: [] for k in THUMB_SCHEMA.fields}
             for r in pdf.itertuples(index=False):
                 img = _decode_any(bytes(r.bytes), r.fmt, int(r.w), int(r.h)).astype(np.float64)
-                h, w = img.shape
+                # channel-major throughout: gray is a 1-channel stack, RGB
+                # keeps its 3 channels — the thumb payload is (ch, th, tw)
+                arr = img if img.ndim == 3 else img[None]
+                ch, h, w = arr.shape
                 ph, pw = (-h) % th, (-w) % tw
-                img = np.pad(img, ((0, ph), (0, pw)), mode="edge")
-                small = img.reshape(th, img.shape[0] // th, tw, img.shape[1] // tw).mean(axis=(1, 3))
+                arr = np.pad(arr, ((0, 0), (0, ph), (0, pw)), mode="edge")
+                small = arr.reshape(
+                    ch, th, arr.shape[1] // th, tw, arr.shape[2] // tw
+                ).mean(axis=(2, 4))
                 out["image_id"].append(r.image_id)
                 out["tw"].append(tw)
                 out["th"].append(th)
@@ -141,7 +148,9 @@ def frame_sample(images: DataFrame, n_frames: int = 4) -> DataFrame:
         for pdf in batches:
             out = {k.name: [] for k in FRAME_SCHEMA.fields}
             for r in pdf.itertuples(index=False):
-                img = _decode_any(bytes(r.bytes), r.fmt, int(r.w), int(r.h)).astype(np.float64)
+                img = codecs.luma(
+                    _decode_any(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                )
                 idxs = np.linspace(0, img.shape[0] - 1, n_frames).astype(int)
                 for k, i in enumerate(idxs):
                     out["image_id"].append(r.image_id)

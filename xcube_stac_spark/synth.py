@@ -82,7 +82,7 @@ _FMTS = ("raw", "png", "lossy")
 
 #: bump to force regeneration of already-materialized synth dirs when the
 #: generated content changes (checked against the _SUCCESS marker)
-SYNTH_VERSION = 6  # v6: tiled+DEFLATE COG payloads in the format mix
+SYNTH_VERSION = 7  # v6: tiled+DEFLATE COG payloads; v7: RGB multimodal rows
 
 ANGLE_GRID_N = 23  # native angle-grid size (reference sen2.py:1031-1032)
 ANGLE_SCALE = 0.01
@@ -426,6 +426,36 @@ def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
     for (idx, *_), (payload, ph) in zip(pending, results):
         images[idx]["bytes"] = payload
         images[idx]["phash"] = ph
+
+    # RGB multimodal rows (channel-major (3,h,w), PNG color type 2): the
+    # image+caption TRAINING-corpus shape next to the single-band rasters.
+    # Standalone rows — no asset linkage, so the cube band path never sees
+    # them; image_stats/thumbnails/frame_sample/pHash exercise the
+    # 3-channel decode. phash is computed over the luminance (channel mean).
+    rh, rw = max(32, p.h // 2), max(32, p.w // 2)
+    yy, xx = np.mgrid[0:rh, 0:rw]
+    for i in range(4 * p.days):
+        rng = np.random.default_rng(900_000 + i)
+        chans = []
+        for c in range(3):
+            plane = (
+                8000.0 + 2500.0 * c
+                + 9000.0 * np.sin(xx / (6.0 + i % 5) + c) * np.cos(yy / (7.0 + i % 3))
+                + rng.normal(0.0, 400.0, (rh, rw))
+            )
+            chans.append(np.clip(plane, 0.0, 65535.0))
+        rgb = np.stack(chans).astype(np.uint16)
+        images.append(
+            dict(
+                image_id=f"RGB{i:04d}",
+                bytes=codecs.encode(rgb, "png"),
+                w=np.int32(rw),
+                h=np.int32(rh),
+                fmt="png",
+                caption=f"photo {i} of a synthetic landscape",
+                phash=np.int64(codecs.phash64_any(rgb)),
+            )
+        )
 
     scenes_schema = pa.schema(
         [
