@@ -510,15 +510,18 @@ def probe_band_layout(
     qb = hyperplane_bands(queries, "query_id", "qvec", bands, bits, dim)
     qkeys = qb.collect()  # bands x n_queries rows — driver-bounded
     corpus = spark.read.parquet(path)
-    pred = None
-    for r in qkeys:
-        c = (F.col("band") == r["band"]) & (F.col("key") == r["key"])
-        pred = c if pred is None else (pred | c)
     qid_type = queries.schema["query_id"].dataType.simpleString()
-    if pred is None:
+    if not qkeys:
         return spark.createDataFrame(
             [], f"query_id {qid_type}, vec_id {qid_type}, cos_sim double, rank int"
         )
+    # one isin over the PACKED (band << bits) | key value instead of an
+    # OR-chain of bands x n_queries (band==b AND key==k) terms: the plan
+    # stays O(1)-sized at any query count, and because both operands are
+    # partition columns the scan still statically partition-prunes
+    # (PartitionFilters carries the packed INSET — asserted by test)
+    packed = sorted({(r["band"] << bits) | r["key"] for r in qkeys})
+    pred = (F.shiftleft(F.col("band"), bits) + F.col("key")).isin(packed)
     qk_df = spark.createDataFrame(
         [(r["band"], r["key"], r["query_id"]) for r in qkeys],
         f"band int, key int, query_id {qid_type}",

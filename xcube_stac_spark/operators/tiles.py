@@ -343,8 +343,56 @@ def _tile_index_planes(
             val = _plane_disk_store(key, val)
         return val
 
-    key = (grid_key, tile_x, tile_y, zone, south, res, rx, ry)
+    key = _plane_key(grid_key, tile_x, tile_y, zone, south, res, rx, ry)
     return _PLANE_CACHE.get_or_build(key, build)
+
+
+def _plane_key(
+    grid_key: tuple, tile_x: int, tile_y: int, zone: int, south: bool,
+    res: float, rx: float, ry: float,
+) -> tuple:
+    return (grid_key, tile_x, tile_y, zone, south, res, rx, ry)
+
+
+def _plane_stats(key: tuple, col_rel: np.ndarray, row_rel: np.ndarray):
+    """Per-row and per-column extrema of the relative index planes,
+    computed ONCE per cached plane (four O(tile) reductions) and cached.
+
+    These bound the scene-overlap window WITHOUT touching the full planes
+    per contribution: a tile row y can hold in-scene samples only if its
+    col/row ranges intersect the scene's index intervals — a 2048-element
+    vector test instead of a 4.2M-element plane materialization. The
+    resulting coarse window is a SUPERSET of the exact overlap (per-axis
+    extrema can't see joint col∧row violations), so the exact crop then
+    runs on the coarse window only; emitted windows are bit-identical to
+    the full-plane formulation."""
+
+    def build():
+        return (
+            col_rel.min(axis=1).astype(np.int32),
+            col_rel.max(axis=1).astype(np.int32),
+            row_rel.min(axis=1).astype(np.int32),
+            row_rel.max(axis=1).astype(np.int32),
+            col_rel.min(axis=0).astype(np.int32),
+            col_rel.max(axis=0).astype(np.int32),
+            row_rel.min(axis=0).astype(np.int32),
+            row_rel.max(axis=0).astype(np.int32),
+        )
+
+    return _PLANE_CACHE.get_or_build((key, "stats"), build)
+
+
+def _plane_idx_base(key: tuple, col_rel: np.ndarray, row_rel: np.ndarray, w: int):
+    """Fused flat gather index row_rel*w + col_rel (int32), cached per
+    (plane, scene width): aligned scenes of the same product width then
+    need ONE vector add (+ base shift) per contribution instead of a
+    convert+multiply+add over the full tile — the interior-path kernel is
+    bandwidth-bound and this cuts its per-contribution traffic ~2x."""
+
+    def build():
+        return (row_rel.astype(np.int32) * np.int32(w) + col_rel,)
+
+    return _PLANE_CACHE.get_or_build((key, "idx", w), build)[0]
 
 
 def pixel_residue_shift(origin: float, res: float) -> tuple[float, int]:
@@ -422,19 +470,21 @@ def _regrid_one(
     h, w = img.shape
     rx, sx = pixel_residue_shift(scene_x0, scene_res)
     ry, sy = pixel_residue_shift(scene_y0, scene_res)
+    key = _plane_key(grid_key, tile_x, tile_y, zone, south, float(scene_res), rx, ry)
     col_rel, row_rel, cbase, rbase, cmax, rmax = _tile_index_planes(
         grid_key, tile_x, tile_y, zone, south, float(scene_res), rx, ry
     )
     # INTERIOR-TILE fast path: col = cbase + col_rel - sx ∈ [0, w) and
     # row = rbase + row_rel + sy ∈ [0, h) for the WHOLE tile (checked from
-    # the cached extrema alone) → no bounds planes, one fused gather.
+    # the cached extrema alone) → no bounds planes, one fused gather from
+    # the cached idx_base plane (one vector add per contribution).
     # All index math fits int32: row_rel*w < h*w < 2^31 (guarded), and
     # base = idx(rel=0) lies in [0, h*w) because the extrema check proved
     # every absolute index in-bounds.
     th, tw = col_rel.shape
     if h * w < 2**31 and cbase >= sx and cmax <= w - 1 + sx and rbase >= -sy and rmax <= h - 1 - sy:
         base = (rbase + sy) * w + (cbase - sx)
-        idx = row_rel.astype(np.int32) * np.int32(w) + col_rel + np.int32(base)
+        idx = _plane_idx_base(key, col_rel, row_rel, w) + np.int32(base)
         dn = img.ravel()[idx]
         valid = dn != nodata
         n_valid = int(valid.sum())
@@ -444,17 +494,36 @@ def _regrid_one(
         dn_z = zlib.compress(dn.tobytes(), 1)
         mask_z = zlib.compress(np.packbits(valid.ravel()).tobytes(), 1)
         return dn_z, mask_z, n_valid, 0, 0, th, tw, th, tw
-    col = col_rel.astype(np.int32) + np.int32(cbase - sx)
-    row = row_rel.astype(np.int32) + np.int32(rbase + sy)
+    # coarse window from the cached per-row/per-col extrema (O(tile edge)
+    # vector tests — the full-tile int32 planes are never materialized),
+    # then the EXACT crop inside it: emitted windows are bit-identical to
+    # the full-plane formulation (see _plane_stats)
+    cmin_r, cmax_r, rmin_r, rmax_r, cmin_c, cmax_c, rmin_c, rmax_c = _plane_stats(
+        key, col_rel, row_rel
+    )
+    clo, chi = sx - cbase, w - 1 + sx - cbase
+    rlo, rhi = -sy - rbase, h - 1 - sy - rbase
+    ys_c = (cmin_r <= chi) & (cmax_r >= clo) & (rmin_r <= rhi) & (rmax_r >= rlo)
+    xs_c = (cmin_c <= chi) & (cmax_c >= clo) & (rmin_c <= rhi) & (rmax_c >= rlo)
+    if not ys_c.any() or not xs_c.any():
+        return None
+    cy0 = int(ys_c.argmax()); cy1 = th - int(ys_c[::-1].argmax())
+    cx0 = int(xs_c.argmax()); cx1 = tw - int(xs_c[::-1].argmax())
+    col = col_rel[cy0:cy1, cx0:cx1].astype(np.int32) + np.int32(cbase - sx)
+    row = row_rel[cy0:cy1, cx0:cx1].astype(np.int32) + np.int32(rbase + sy)
     inside = (col >= 0) & (col < w) & (row >= 0) & (row < h)
     ys, xs = inside.any(axis=1), inside.any(axis=0)
     if not ys.any():
         return None
-    # crop to the scene-overlap window before sampling: gather, compress,
-    # Arrow transfer and mosaic all touch only the window's pixels
-    y0 = int(ys.argmax()); y1 = th - int(ys[::-1].argmax())
-    x0 = int(xs.argmax()); x1 = tw - int(xs[::-1].argmax())
-    colw, roww, insw = col[y0:y1, x0:x1], row[y0:y1, x0:x1], inside[y0:y1, x0:x1]
+    # exact crop within the coarse window: gather, compress, Arrow transfer
+    # and mosaic all touch only the true overlap's pixels
+    wy0 = int(ys.argmax()); wy1 = inside.shape[0] - int(ys[::-1].argmax())
+    wx0 = int(xs.argmax()); wx1 = inside.shape[1] - int(xs[::-1].argmax())
+    y0, y1 = cy0 + wy0, cy0 + wy1
+    x0, x1 = cx0 + wx0, cx0 + wx1
+    colw, roww, insw = (
+        col[wy0:wy1, wx0:wx1], row[wy0:wy1, wx0:wx1], inside[wy0:wy1, wx0:wx1]
+    )
     dn = np.zeros(colw.shape, dtype=np.uint16)
     dn[insw] = img[roww[insw], colw[insw]]
     valid = insw & (dn != nodata)
