@@ -745,21 +745,35 @@ def mosaic_take_first(
 
     ``write_aligned`` (default): the grouping exchange hashes on the WRITE
     partition key (solar_day, tile_y, tile_x) — a strict subset of the
-    group key, which still satisfies the groupBy's clustering requirement
-    (all bands of a tile land in one task; verified single-Exchange by
-    test) — so the downstream partitioned write needs NO second shuffle of
-    the full output planes. That plane shuffle was the dominant byte mover
-    of the sf1-native shape: window rows (compressed DN+mask, the smallest
-    representation in the pipeline) are what crosses the wire instead."""
+    group key (all bands of a tile land in one task) — so the downstream
+    partitioned write needs NO second shuffle of the full output planes.
+    That plane shuffle was the dominant byte mover of the sf1-native shape:
+    window rows (compressed DN+mask, the smallest representation in the
+    pipeline) are what crosses the wire instead.
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            ["t_order", "item_id"], kind="mergesort", ascending=(order == "first")
-        )
-        th, tw = int(pdf["th"].iloc[0]), int(pdf["tw"].iloc[0])
+    Execution shape: repartition on the chosen key + sortWithinPartitions
+    on (group key, t_order, item_id) + ONE ``mapInPandas`` that walks the
+    sorted stream and merges each group where the key changes, carrying the
+    possibly-split tail group across Arrow batch boundaries. A
+    ``groupBy.applyInPandas`` formulation is semantically identical but
+    pays ~10 core-ms of per-group Arrow/pandas dispatch — at 128-px tiles
+    (45k groups per sf0.1 job) that overhead WAS ~80% of the whole
+    pipeline's CPU; batching it away is a 2-3x end-to-end win at small
+    tiles and neutral at 2048-px tiles (few groups)."""
+
+    GROUP_COLS = ["solar_day", "band", "tile_y", "tile_x"]
+
+    def merge_group(g: pd.DataFrame, out_cols: dict) -> None:
+        # rows arrive (t_order, item_id)-ascending from the partition sort;
+        # order="last" (LAST valid wins) is first-wins over the reversed
+        # stream — identical to the former descending sort
+        rows = g.itertuples(index=False)
+        if order != "first":
+            rows = reversed(list(rows))
+        th, tw = int(g["th"].iloc[0]), int(g["tw"].iloc[0])
         out = np.full((th, tw), np.nan, np.float32)
         filled = np.zeros((th, tw), dtype=bool)
-        for r in pdf.itertuples(index=False):
+        for r in rows:
             npix = int(r.wh) * int(r.ww)
             dn = np.frombuffer(zlib.decompress(r.dn), np.uint16).reshape(r.wh, r.ww)
             m = (
@@ -773,29 +787,46 @@ def mosaic_take_first(
                 vals = (r.scale * dn.astype(np.float64) + r.offset).astype(np.float32)
                 out[r.wy : r.wy + r.wh, r.wx : r.wx + r.ww][put] = vals[put]
                 sub_fill[put] = True
-        finite = filled
-        return pd.DataFrame(
-            {
-                "solar_day": [pdf["solar_day"].iloc[0]],
-                "band": [pdf["band"].iloc[0]],
-                "tile_y": [pdf["tile_y"].iloc[0]],
-                "tile_x": [pdf["tile_x"].iloc[0]],
-                "data": [encode_plane(out)],
-                "npix": [th * tw],
-                "n_scenes": [len(pdf)],
-                "item_ids": [",".join(pdf["item_id"].tolist())],
-                "valid_frac": [float(finite.mean())],
-                "checksum": [float(np.nansum(out.astype(np.float64)))],
-            }
-        )
+        out_cols["solar_day"].append(g["solar_day"].iloc[0])
+        out_cols["band"].append(g["band"].iloc[0])
+        out_cols["tile_y"].append(g["tile_y"].iloc[0])
+        out_cols["tile_x"].append(g["tile_x"].iloc[0])
+        out_cols["data"].append(encode_plane(out))
+        out_cols["npix"].append(th * tw)
+        out_cols["n_scenes"].append(len(g))
+        out_cols["item_ids"].append(",".join(g["item_id"].tolist()))
+        out_cols["valid_frac"].append(float(filled.mean()))
+        out_cols["checksum"].append(float(np.nansum(out.astype(np.float64))))
 
-    keyed = (
-        tiles.repartition("solar_day", "tile_y", "tile_x")
-        if write_aligned
-        else tiles
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pend: pd.DataFrame | None = None
+        for pdf in batches:
+            if pend is not None:
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+                pend = None
+            if not len(pdf):
+                continue
+            keys = pdf[GROUP_COLS]
+            starts = np.flatnonzero((keys != keys.shift()).any(axis=1).values)
+            out_cols: dict[str, list] = {k.name: [] for k in MOSAIC_SCHEMA.fields}
+            for s, e in zip(starts[:-1], starts[1:]):
+                merge_group(pdf.iloc[s:e], out_cols)
+            # the last group may continue in the next Arrow batch
+            pend = pdf.iloc[starts[-1] :]
+            if out_cols["band"]:
+                yield pd.DataFrame(out_cols)
+        if pend is not None and len(pend):
+            out_cols = {k.name: [] for k in MOSAIC_SCHEMA.fields}
+            merge_group(pend, out_cols)
+            yield pd.DataFrame(out_cols)
+
+    part_cols = (
+        ["solar_day", "tile_y", "tile_x"] if write_aligned else GROUP_COLS
     )
-    return keyed.groupBy("solar_day", "band", "tile_y", "tile_x").applyInPandas(
-        merge, MOSAIC_SCHEMA
+    return (
+        tiles.repartition(*part_cols)
+        .sortWithinPartitions(*GROUP_COLS, "t_order", "item_id")
+        .mapInPandas(run, MOSAIC_SCHEMA)
     )
 
 
