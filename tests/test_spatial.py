@@ -193,6 +193,39 @@ def test_collections_metadata(cat):
     assert r.collection == "syn-l2a" and r.n_items > 0 and r.xmin < r.xmax
 
 
+def test_scene_layout_probe_prunes_and_matches_search(spark, cat, tmp_path):
+    """At-rest spatial layout: probe result == search_scenes over the base
+    table, and the probe's scan is statically partition-pruned (pcell
+    PartitionFilters, fewer dirs read than exist)."""
+    import io
+    import os
+    import re
+    from contextlib import redirect_stdout
+
+    from xcube_stac_spark.operators import spatial as sp
+
+    path = str(tmp_path / "scene_layout")
+    sp.write_scene_layout(cat.scenes(), path)
+    bbox = [11.0, 49.0, 12.5, 50.0]
+    tr = ("2025-06-02", "2025-06-20")
+    got = sp.probe_scene_layout(spark, path, bbox, time_range=tr)
+    exp = sp.search_scenes(cat.scenes(), bbox=bbox, time_range=tr)
+    assert sorted(r.item_id for r in got.collect()) == sorted(
+        r.item_id for r in exp.collect()
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "pcell" in plan
+    n_dirs = sum(1 for d in os.listdir(path) if d.startswith("pcell="))
+    m = re.search(r"partitions read: (\d+)", plan)
+    if m:
+        assert int(m.group(1)) <= n_dirs
+    # the probe's fine predicates are pushed into the pruned scan too
+    assert "PushedFilters: [" in plan
+
+
 def test_salted_cell_join_bounds_hot_cell_tasks(spark):
     """Skewed world: one hot cell at ~50x the density of every other cell
     (a megacity tile). Forced to a shuffle join with AQE's skew splitter

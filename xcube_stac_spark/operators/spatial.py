@@ -137,6 +137,76 @@ def region_cells_df(
 
 MAX_LITERAL_REGION_CELLS = 256
 
+#: coarse cell level of the at-rest scenes layout: 2.8125° cells, 8192
+#: worldwide — enough directories that a regional probe prunes hard, few
+#: enough that the partition listing stays trivial at any catalog size
+SCENE_LAYOUT_LEVEL = 6
+
+
+def write_scene_layout(
+    scenes: DataFrame, path: str, level: int = SCENE_LAYOUT_LEVEL
+) -> None:
+    """Materialize the at-rest SPATIAL layout of the scenes table — the
+    scene-catalog analogue of the ANN (band,key)/cluster layouts
+    (operators/ann.py): every scene row is written under EACH coarse
+    level-``level`` cell its bbox covers (bounded duplication: a scene
+    footprint spans O(1) cells at 2.8°), partitioned by that cell id.
+
+    A bbox probe (probe_scene_layout) then reads ONLY the covering-cell
+    directories — a statically partition-pruned scan with the fine search
+    predicates pushed into it; no join, no shuffle, no full-catalog pass.
+    This is the 100-TB resting shape the reference's client-side item scan
+    (utils.py:93-140 nested loops) cannot express."""
+    import json
+    import os
+
+    covered = scenes.withColumn(
+        "pcell",
+        F.explode(
+            X.bbox_cells_expr(
+                F.col("bbox_xmin"), F.col("bbox_ymin"),
+                F.col("bbox_xmax"), F.col("bbox_ymax"), level,
+            )
+        ),
+    )
+    (
+        covered.repartition("pcell")
+        .write.mode("overwrite")
+        .partitionBy("pcell")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_layout_meta.json"), "w") as f:
+        json.dump({"level": level}, f)
+
+
+def probe_scene_layout(
+    spark,
+    path: str,
+    bbox: Sequence[float],
+    time_range: tuple[str, str] | None = None,
+    collections: Iterable[str] | None = None,
+    query: dict[str, Sequence[str]] | None = None,
+) -> DataFrame:
+    """Search the at-rest layout: covering cells become STATIC partition
+    predicates (PartitionFilters in the scan — asserted by test), then the
+    ordinary search predicate chain refines. A scene spanning several
+    covering cells appears once per cell directory, so the probe dedups on
+    item_id. Result rows equal search_scenes over the base table."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_layout_meta.json")) as f:
+        level = json.load(f)["level"]
+    cells = cells_mod.cover_bbox(bbox[0], bbox[1], bbox[2], bbox[3], level)
+    df = (
+        spark.read.parquet(path)
+        .where(F.col("pcell").isin([int(c) for c in cells]))
+        .drop("pcell")
+    )
+    return search_scenes(
+        df, bbox=bbox, time_range=time_range, collections=collections, query=query
+    ).dropDuplicates(["item_id"])
+
 
 def spatial_join_region(
     scenes: DataFrame,
