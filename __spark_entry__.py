@@ -378,6 +378,21 @@ def _q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_embedding_clusters(spark, sf_dir):
+    """K-means document clustering over the embeddings table (the
+    training-pipeline corpus-partitioning op): deterministic sample-based
+    Lloyd codebook (operators/ann.ivf_train) + one distributed assignment
+    pass. Oracle = NumPy fixture replicating codebook + first-min
+    assignment bit-for-bit."""
+    from xcube_stac_spark.operators.ann import _ivf_assign_udf, ivf_train
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    C = ivf_train(emb)
+    return emb.select(
+        "vec_id", _ivf_assign_udf(C)(F.col("embedding")).alias("cluster")
+    )
+
+
 def _q_ann_near_dup(spark, sf_dir):
     return ann_op.near_dup_pairs(
         _aug_emb(spark, sf_dir), threshold=ANN_NEAR_THRESHOLD
@@ -667,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "embedding_clusters": _q_embedding_clusters,
         "ann_near_dup": _q_ann_near_dup,
         "events_sessionize": _q_events_sessionize,
         "events_window": _q_events_window,

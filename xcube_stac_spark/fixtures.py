@@ -52,7 +52,7 @@ PYR_LEVELS = 2
 IVF_QUERY_IDS = (0, 1, 2)
 IVF_TOPK_K = 10
 
-FIXTURE_VERSION = 6  # v5: ann_ivf_topk; v6: sample-based IVF trainer
+FIXTURE_VERSION = 7  # v6: sample-based IVF trainer; v7: embedding_clusters
 
 THUMB_W = THUMB_H = 16
 N_FRAMES = 4
@@ -68,6 +68,7 @@ FIXTURE_QUERIES = (
     "orthorectify",
     "rectify_swath",
     "ann_ivf_topk",
+    "embedding_clusters",
     "pyramid",
     "pyramid_combined",
 )
@@ -501,6 +502,13 @@ _IVF_SCHEMA = pa.schema(
     ]
 )
 
+_CLUSTER_SCHEMA = pa.schema(
+    [
+        ("vec_id", pa.int64()),
+        ("cluster", pa.int32()),
+    ]
+)
+
 
 def _fx_ann_ivf(sf: str, out_dir: str) -> None:
     """Independent NumPy replica of ann.ivf_topk over the driver embeddings
@@ -535,6 +543,18 @@ def _fx_ann_ivf(sf: str, out_dir: str) -> None:
                 C[c] = [round_half_up(float(x), 6) for x in members.mean(axis=0)]
     d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     final_assign = np.argmin(d, axis=1)
+    # embedding_clusters fixture: the full-corpus assignment itself (the
+    # k-means document-clustering query) — same codebook, same first-min
+    # tie-break as the engine's _ivf_assign_udf
+    _write(
+        out_dir,
+        "embedding_clusters",
+        [
+            {"vec_id": int(ids[i]), "cluster": int(final_assign[i])}
+            for i in range(len(ids))
+        ],
+        _CLUSTER_SCHEMA,
+    )
 
     rows: list[dict] = []
     for q in IVF_QUERY_IDS:
