@@ -161,6 +161,22 @@ def test_fused_resume_skips_and_refills(spark, small_cube, small_expected, tmp_p
     assert lineage.committed_partitions(spark, out).count() == tbl.num_rows
 
 
+def test_fused_zero_row_write_to_fresh_store_is_graceful(spark, small_cube, small_expected, tmp_path):
+    """Expected partitions are metadata-only, so a run can legitimately
+    produce ZERO cube rows for a non-empty expected set (all-nodata scenes).
+    On a fresh store that used to crash schema inference in the read-back;
+    it must return written_partitions=0 — and honor resume=False in the
+    run metrics."""
+    out = str(tmp_path / "fresh_zero")
+    empty = small_cube.where(F.lit(False))
+    m = lineage.write_cube(
+        empty, out, resume=False, expected_partitions=small_expected
+    )
+    assert m["written_partitions"] == 0
+    assert m["resumed"] is False
+    assert lineage.committed_partitions(spark, out).count() == 0
+
+
 def test_concurrent_writes_commit_the_union(spark, small_cube, small_expected, tmp_path):
     """Two concurrent write_cube calls on the SAME path with DISJOINT day
     subsets: the atomic-rename publishes and dynamic partition overwrite

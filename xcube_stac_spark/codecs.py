@@ -575,8 +575,7 @@ def _predict2(img: np.ndarray) -> np.ndarray:
 
 
 def _tiff_container(
-    segs: list[bytes], entries_fixed: list[tuple], n_seg_rowscols: int,
-    off_tag: int, cnt_tag: int,
+    segs: list[bytes], entries_fixed: list[tuple], off_tag: int, cnt_tag: int
 ) -> bytes:
     """Assemble header + segment data + IFD (+ overflow arrays)."""
     data_start = 8
@@ -651,7 +650,7 @@ def encode_tiff(img: np.ndarray, rows_per_strip: int | None = None) -> bytes:
         (277, 3, 1, 1),               # SamplesPerPixel
         (278, 4, 1, rows_per_strip),  # RowsPerStrip
     ]
-    return _tiff_container(strips, entries, len(strips), 273, 279)
+    return _tiff_container(strips, entries, 273, 279)
 
 
 def encode_cog(img: np.ndarray, tile_size: int = 256) -> bytes:
@@ -690,7 +689,7 @@ def encode_cog(img: np.ndarray, tile_size: int = 256) -> bytes:
         (322, 4, 1, ts),   # TileWidth
         (323, 4, 1, ts),   # TileLength
     ]
-    return _tiff_container(tiles, entries, len(tiles), 324, 325)
+    return _tiff_container(tiles, entries, 324, 325)
 
 
 def decode_tiff(data: bytes, w: int | None = None, h: int | None = None) -> np.ndarray:

@@ -207,7 +207,7 @@ def write_cube(
         )
         n_parts = spark.read.parquet(staging).count()
         if n_parts == 0:
-            return {"written_partitions": 0, "elapsed_sec": 0.0, "resumed": True}
+            return {"written_partitions": 0, "elapsed_sec": 0.0, "resumed": resume}
 
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # no repartition here: mosaic_take_first already hash-partitions its
@@ -271,7 +271,7 @@ def _write_cube_fused(
     exp = exp.persist()  # one row per partition key — tiny at any cube size
     try:
         if exp.isEmpty():
-            return {"written_partitions": 0, "elapsed_sec": 0.0, "resumed": True}
+            return {"written_partitions": 0, "elapsed_sec": 0.0, "resumed": resume}
         todo = cube
         if resume and have_commits:
             todo = todo.join(F.broadcast(done), PART_COLS, "left_anti")
@@ -283,11 +283,30 @@ def _write_cube_fused(
             .partitionBy(*PART_COLS)
             .parquet(path)
         )
-        # metrics/lineage from the just-written files: parquet column
-        # pruning means the plane payload column is NEVER read here —
-        # only partition values and the small metric columns
+        # metrics/lineage from the just-written files, with the LISTING
+        # pruned to this run's solar days: reading the store root would
+        # re-list and footer-read every partition ever written — O(total
+        # store) per call, O(N^2) over an N-day per-day/streaming loop.
+        # The expected day set is tiny (one value per day in the run), so
+        # collecting it driver-side and reading only those day directories
+        # bounds the read-back to this run's own output. A day directory
+        # can be absent entirely when every expected tile of that day
+        # produced zero rows (all-nodata scenes) — skipped, and the
+        # zero-days case returns gracefully instead of failing schema
+        # inference on an empty store. Parquet column pruning means the
+        # plane payload column is NEVER read here — only partition values
+        # and the small metric columns.
+        days = [str(r[0]) for r in exp.select("solar_day").distinct().collect()]
+        day_paths = [
+            p for p in (os.path.join(path, f"solar_day={d}") for d in days)
+            if os.path.isdir(p)
+        ]
+        if not day_paths:
+            return {"written_partitions": 0, "elapsed_sec": 0.0, "resumed": resume}
         rb = (
-            spark.read.option("mergeSchema", "true").parquet(path)
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", path)
+            .parquet(*day_paths)
             .select(
                 F.to_date(F.col("solar_day").cast("string")).alias("solar_day"),
                 F.col("tile_y").cast("int").alias("tile_y"),
@@ -315,7 +334,7 @@ def _write_cube_fused(
     finally:
         exp.unpersist()
     if n_parts == 0:
-        return {"written_partitions": 0, "elapsed_sec": 0.0, "resumed": True}
+        return {"written_partitions": 0, "elapsed_sec": 0.0, "resumed": resume}
     return _publish_commit(path, staging, run_id, n_parts, t0, resume)
 
 

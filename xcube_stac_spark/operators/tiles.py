@@ -705,9 +705,15 @@ MOSAIC_SCHEMA = T.StructType(
 #: ceiling), so cheap-and-fast is the right point
 PLANE_ZLIB_LEVEL = 1
 
+#: 4-byte payload tag making the plane encoding self-describing — a
+#: compressed plane whose deflate stream happened to be exactly the raw
+#:  float32 size would otherwise be misread as raw pixels (length was the
+#: only discriminator)
+PLANE_MAGIC = b"ZPL1"
+
 
 def encode_plane(arr: np.ndarray) -> bytes:
-    """Cube plane payload encoding: zlib(float32 C-order bytes).
+    """Cube plane payload encoding: PLANE_MAGIC + zlib(float32 C-order bytes).
 
     The mosaic's float32 output plane is ~16 MB at the reference-native
     2048-px tile and used to move RAW through persist + shuffle + parquet —
@@ -716,7 +722,9 @@ def encode_plane(arr: np.ndarray) -> bytes:
     downstream byte movement by the same factor. Deterministic: CPython's
     zlib at a fixed level produces identical bytes for identical input, so
     digest-based kill/resume comparisons still hold."""
-    return zlib.compress(np.ascontiguousarray(arr, np.float32).tobytes(), PLANE_ZLIB_LEVEL)
+    return PLANE_MAGIC + zlib.compress(
+        np.ascontiguousarray(arr, np.float32).tobytes(), PLANE_ZLIB_LEVEL
+    )
 
 
 def mosaic_take_first(
@@ -863,9 +871,13 @@ def pivot_bands(df: DataFrame, bands: Sequence[str], value_col: str, group_cols:
 def tile_to_array(data: bytes, rows: int, cols: int) -> np.ndarray:
     """Decode a cube tile payload back to (rows, cols) float32.
 
-    Planes are zlib-deflated (encode_plane); a payload whose length equals
-    the raw float32 size is accepted as legacy-raw (pre-compression cubes,
-    rectify_swath planes)."""
+    Tagged payloads (PLANE_MAGIC prefix, encode_plane) are zlib-deflated;
+    a payload of exactly the raw float32 size is legacy-raw (pre-tag cubes,
+    rectify_swath planes); anything else is a legacy untagged deflate
+    stream. The tag removes the ambiguity of a compressed payload whose
+    length coincides with the raw size."""
+    if data[:4] == PLANE_MAGIC:
+        return np.frombuffer(zlib.decompress(data[4:]), np.float32).reshape(rows, cols)
     if len(data) == rows * cols * 4:
         return np.frombuffer(data, dtype=np.float32).reshape(rows, cols)
     return np.frombuffer(zlib.decompress(data), dtype=np.float32).reshape(rows, cols)
