@@ -791,9 +791,21 @@ def mosaic_take_first(
             )
             sub_fill = filled[r.wy : r.wy + r.wh, r.wx : r.wx + r.ww]
             put = m & ~sub_fill
-            if put.any():
-                vals = (r.scale * dn.astype(np.float64) + r.offset).astype(np.float32)
-                out[r.wy : r.wy + r.wh, r.wx : r.wx + r.ww][put] = vals[put]
+            n_put = int(put.sum())
+            if n_put:
+                # identical per-pixel math either way (scale*DN+offset in
+                # float64, cast float32); the sparse path skips
+                # materializing the full-window float64 plane when most
+                # pixels are already filled by higher-priority scenes —
+                # later mosaic contributors usually win only slivers
+                if n_put * 4 < put.size:
+                    vals = (
+                        r.scale * dn[put].astype(np.float64) + r.offset
+                    ).astype(np.float32)
+                    out[r.wy : r.wy + r.wh, r.wx : r.wx + r.ww][put] = vals
+                else:
+                    vals = (r.scale * dn.astype(np.float64) + r.offset).astype(np.float32)
+                    out[r.wy : r.wy + r.wh, r.wx : r.wx + r.ww][put] = vals[put]
                 sub_fill[put] = True
         out_cols["solar_day"].append(g["solar_day"].iloc[0])
         out_cols["band"].append(g["band"].iloc[0])
