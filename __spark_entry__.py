@@ -378,6 +378,24 @@ def _q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_audio_features(spark, sf_dir):
+    """Audio modality: real RIFF/PCM16 WAV decode + per-clip features
+    (duration/RMS/peak/zero-crossing rate) over the opaque binary column.
+    Oracle = fixture whose parser is the INDEPENDENT stdlib ``wave``
+    module, so the container parse itself is cross-checked."""
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    if sf not in synth.PARAMS:
+        sf = "sf0.01"
+    audio = spark.read.parquet(synth.ensure_audio(sf))
+    return mm_op.audio_features(audio).select(
+        "audio_id", "sr", "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+        "peak",
+        F.round("zcr", 6).alias("zcr"),
+    )
+
+
 def _q_embedding_clusters(spark, sf_dir):
     """K-means document clustering over the embeddings table (the
     training-pipeline corpus-partitioning op): deterministic sample-based
@@ -683,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_clusters": _q_embedding_clusters,
+        "audio_features": _q_audio_features,
         "ann_near_dup": _q_ann_near_dup,
         "events_sessionize": _q_events_sessionize,
         "events_window": _q_events_window,

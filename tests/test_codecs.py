@@ -269,6 +269,29 @@ def test_tiff_rejects_unsupported_and_truncated():
         codecs.decode_tiff(bytes(bad))
 
 
+def test_wav_roundtrip_and_stdlib_parity():
+    """RIFF/PCM16 WAV: bit-lossless round trip, and the container is a
+    REAL wav — the stdlib wave module parses it identically."""
+    import io
+    import wave
+
+    rng = np.random.default_rng(9)
+    pcm = rng.integers(-32768, 32768, 5000).astype(np.int16)
+    data = codecs.encode_wav(pcm, 4000)
+    sr, out = codecs.decode_wav(data)
+    assert sr == 4000
+    np.testing.assert_array_equal(out, pcm)
+    with wave.open(io.BytesIO(data)) as w:
+        assert (w.getframerate(), w.getnchannels(), w.getsampwidth()) == (4000, 1, 2)
+        np.testing.assert_array_equal(
+            np.frombuffer(w.readframes(w.getnframes()), "<i2"), pcm
+        )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        codecs.decode_wav(b"nope" + data[4:])
+
+
 def test_cog_roundtrip_tiled_deflate_predictor():
     """Tiled + DEFLATE + predictor-2 (the COG shape) is bit-lossless across
     edge-tile geometries, incl. images smaller than one tile."""

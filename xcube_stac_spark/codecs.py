@@ -804,6 +804,54 @@ def decode_tiff(data: bytes, w: int | None = None, h: int | None = None) -> np.n
 
 
 # ---------------------------------------------------------------------------
+# WAV — RIFF PCM16 mono (stdlib struct; the audio modality's container).
+# Not in the IMAGE dispatch tables below: audio rows live in their own
+# table and flow through operators/multimodal.audio_features.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header + PCM16LE mono payload."""
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * 2
+    return b"".join(
+        [
+            b"RIFF", struct.pack("<I", 36 + len(pcm)), b"WAVE",
+            b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16),
+            b"data", struct.pack("<I", len(pcm)), pcm,
+        ]
+    )
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, int16 samples) from a PCM16 mono RIFF/WAVE stream;
+    walks the chunk list so extra chunks (LIST/fact) are tolerated."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    rate = None
+    pcm = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt_code, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_code != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={fmt_code} ch={channels} bits={bits}); "
+                    "PCM16 mono only"
+                )
+        elif tag == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return int(rate), np.frombuffer(pcm, dtype="<i2")
+
+
+# ---------------------------------------------------------------------------
 # dispatch (mirrors MAP_FILE_EXTENSION_FORMAT constants.py:76-83 in spirit)
 # ---------------------------------------------------------------------------
 

@@ -52,7 +52,7 @@ PYR_LEVELS = 2
 IVF_QUERY_IDS = (0, 1, 2)
 IVF_TOPK_K = 10
 
-FIXTURE_VERSION = 7  # v6: sample-based IVF trainer; v7: embedding_clusters
+FIXTURE_VERSION = 8  # v7: embedding_clusters; v8: audio_features
 
 THUMB_W = THUMB_H = 16
 N_FRAMES = 4
@@ -69,6 +69,7 @@ FIXTURE_QUERIES = (
     "rectify_swath",
     "ann_ivf_topk",
     "embedding_clusters",
+    "audio_features",
     "pyramid",
     "pyramid_combined",
 )
@@ -574,6 +575,56 @@ def _fx_ann_ivf(sf: str, out_dir: str) -> None:
     _write(out_dir, "ann_ivf_topk", rows, _IVF_SCHEMA)
 
 
+def _fx_audio_features(sf: str, sdir: str, out_dir: str) -> None:
+    """Independent mirror of multimodal.audio_features: the WAV container
+    is parsed with the STDLIB ``wave`` module (not codecs.decode_wav), so
+    container parsing itself is cross-checked, then the identical feature
+    math (duration, RMS, peak, zero-crossing rate)."""
+    import io
+    import wave
+
+    from xcube_stac_spark import synth as synth_mod
+
+    apath = synth_mod.ensure_audio(sf, out_root=os.path.dirname(sdir))
+    t = pq.read_table(apath)
+    rows = []
+    for r in t.to_pylist():
+        with wave.open(io.BytesIO(r["bytes"])) as w:
+            assert w.getnchannels() == 1 and w.getsampwidth() == 2
+            sr = w.getframerate()
+            samples = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        x = samples.astype(np.float64)
+        rows.append(
+            {
+                "audio_id": r["audio_id"],
+                "sr": sr,
+                "n_samples": len(samples),
+                "duration_sec": round_half_up(len(samples) / sr, 6),
+                "rms": round_half_up(float(np.sqrt(np.mean(x * x))), 6),
+                "peak": int(np.max(np.abs(samples))),
+                "zcr": round_half_up(
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))), 6
+                ),
+            }
+        )
+    _write(
+        out_dir,
+        "audio_features",
+        rows,
+        pa.schema(
+            [
+                ("audio_id", pa.string()),
+                ("sr", pa.int32()),
+                ("n_samples", pa.int32()),
+                ("duration_sec", pa.float64()),
+                ("rms", pa.float64()),
+                ("peak", pa.int32()),
+                ("zcr", pa.float64()),
+            ]
+        ),
+    )
+
+
 def ensure_fixtures(sf: str, force: bool = False) -> str:
     """Generate (or reuse) the fixture parquet set for one scale factor.
     Returns the fixtures directory. Cached via a marker keyed on BOTH the
@@ -598,6 +649,7 @@ def ensure_fixtures(sf: str, force: bool = False) -> str:
     _fx_pyramid(sdir, out_dir, grid)
     _fx_pyramid_combined(sdir, out_dir, grid)
     _fx_ann_ivf(sf, out_dir)
+    _fx_audio_features(sf, sdir, out_dir)
     with open(marker, "w") as f:
         f.write(stamp)
     return out_dir

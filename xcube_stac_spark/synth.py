@@ -525,6 +525,64 @@ def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
     return out_dir
 
 
+#: bumped independently of SYNTH_VERSION: the audio table is generated
+#: LAZILY beside an existing synth dir (its own marker), so adding/changing
+#: it never invalidates the scene/image payloads or the scaling-history
+#: data_version those records are keyed on
+AUDIO_VERSION = 1
+AUDIO_SR = 4000
+
+
+def ensure_audio(sf: str, out_root: str | None = None) -> str:
+    """Deterministic audio table (the audio modality of the multimodal
+    brief): RIFF/PCM16 WAV clips as opaque binary + typed metadata
+    (audio_id, bytes, sr, n_samples, caption). Sine mixtures + noise, seeded
+    per clip; ~0.5-2 s at 4 kHz keeps the table tiny at every sf."""
+    p = PARAMS[sf]
+    out_dir = os.path.join(out_root or SYNTH_ROOT, sf)
+    marker = os.path.join(out_dir, "_AUDIO_SUCCESS")
+    path = os.path.join(out_dir, "audio.parquet")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f"audio_version={AUDIO_VERSION}" in f.read():
+                return path
+    os.makedirs(out_dir, exist_ok=True)
+    rows = []
+    for i in range(8 * p.days):
+        rng = np.random.default_rng(700_000 + i)
+        n = int(AUDIO_SR * (0.5 + 1.5 * ((i * 37) % 16) / 15.0))
+        t = np.arange(n) / AUDIO_SR
+        f0 = 80.0 + 40.0 * (i % 11)
+        sig = (
+            0.55 * np.sin(2 * np.pi * f0 * t)
+            + 0.25 * np.sin(2 * np.pi * 2.7 * f0 * t + 0.3 * i)
+            + 0.1 * rng.standard_normal(n)
+        )
+        pcm = np.clip(np.round(sig * 12000.0), -32768, 32767).astype(np.int16)
+        rows.append(
+            dict(
+                audio_id=f"AUD{i:04d}",
+                bytes=codecs.encode_wav(pcm, AUDIO_SR),
+                sr=np.int32(AUDIO_SR),
+                n_samples=np.int32(n),
+                caption=f"clip {i}: tone at {f0:.0f} Hz",
+            )
+        )
+    schema = pa.schema(
+        [
+            ("audio_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("sr", pa.int32()),
+            ("n_samples", pa.int32()),
+            ("caption", pa.string()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+    with open(marker, "w") as f:
+        f.write(f"audio_version={AUDIO_VERSION} clips={len(rows)}\n")
+    return path
+
+
 def swath_rows(n: int = 4, rows: int = 40, cols: int = 30) -> list[dict]:
     """Deterministic synthetic swath granules — the Sentinel-3 analogue of
     the reference fixtures: skewed (0.2) + rotated (-25 deg) 2-D lon/lat
