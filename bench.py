@@ -99,7 +99,8 @@ def run_bench() -> dict:
         "scene_search", "dedup_latest", "cell_cover", "spatial_join_region",
         "knn_tiles", "bbox_union", "lineage", "tpch_q1", "events_daily",
         "exact_dedup", "minhash_near_dup", "ngram_jaccard", "ann_topk",
-        "ann_lsh_topk", "ann_ivf_topk", "image_stats", "events_sessionize",
+        "ann_lsh_topk", "ann_ivf_topk", "embedding_clusters", "image_stats",
+        "audio_features", "events_sessionize",
     ]:
         q_runs = []
         for _ in range(REPEATS):

@@ -93,6 +93,12 @@ def test_write_cube_plan_has_no_driver_collect(small_cube, tmp_path):
 
     src = inspect.getsource(lineage.write_cube)
     assert ".collect()" not in src and "toPandas" not in src
+    # the fused path is allowed EXACTLY ONE collect: the expected-partition
+    # KEY list (bounded by the run's own size, ~24 B/key — used for the
+    # crash-leftover pre-clean and the day-pruned read-back listing);
+    # anything more would reintroduce the driver bottleneck
+    fused = inspect.getsource(lineage._write_cube_fused)
+    assert fused.count(".collect()") == 1 and "toPandas" not in fused
 
 
 def test_metrics_content(spark, small_cube, tmp_path):

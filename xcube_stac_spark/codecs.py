@@ -835,7 +835,13 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         tag = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # a silently-clipped chunk would decode to fewer samples than
+            # the header claims — fail loudly like the stdlib parser does
+            raise ValueError("truncated WAV chunk")
         if tag == b"fmt ":
+            if size < 16:
+                raise ValueError("malformed WAV fmt chunk")
             fmt_code, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if fmt_code != 1 or channels != 1 or bits != 16:
@@ -844,6 +850,8 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
                     "PCM16 mono only"
                 )
         elif tag == b"data":
+            if size % 2:
+                raise ValueError("odd-sized WAV PCM16 data chunk")
             pcm = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or pcm is None:

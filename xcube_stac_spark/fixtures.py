@@ -52,7 +52,7 @@ PYR_LEVELS = 2
 IVF_QUERY_IDS = (0, 1, 2)
 IVF_TOPK_K = 10
 
-FIXTURE_VERSION = 8  # v7: embedding_clusters; v8: audio_features
+FIXTURE_VERSION = 9  # v8: audio_features; v9: int32-abs audio peak
 
 THUMB_W = THUMB_H = 16
 N_FRAMES = 4
@@ -601,7 +601,7 @@ def _fx_audio_features(sf: str, sdir: str, out_dir: str) -> None:
                 "n_samples": len(samples),
                 "duration_sec": round_half_up(len(samples) / sr, 6),
                 "rms": round_half_up(float(np.sqrt(np.mean(x * x))), 6),
-                "peak": int(np.max(np.abs(samples))),
+                "peak": int(np.max(np.abs(samples.astype(np.int32)))),
                 "zcr": round_half_up(
                     float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))), 6
                 ),
@@ -633,7 +633,15 @@ def ensure_fixtures(sf: str, force: bool = False) -> str:
     sdir = synth.generate(sf)
     out_dir = os.path.join(sdir, "fixtures")
     marker = os.path.join(out_dir, "_SUCCESS")
-    stamp = f"{FIXTURE_VERSION}:{synth.SYNTH_VERSION}"
+    # _fx_ann_ivf skips silently on checkouts without the driver embeddings
+    # table; tag that in the stamp so a later run WITH the table regenerates
+    # instead of serving the partial set as complete
+    emb_path = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), sf, "embeddings.parquet"
+    )
+    stamp = f"{FIXTURE_VERSION}:{synth.SYNTH_VERSION}" + (
+        "" if os.path.exists(emb_path) else ":no-embeddings"
+    )
     if not force and os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:

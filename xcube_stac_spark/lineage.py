@@ -275,6 +275,27 @@ def _write_cube_fused(
         todo = cube
         if resume and have_commits:
             todo = todo.join(F.broadcast(done), PART_COLS, "left_anti")
+        # pre-clean leftovers of CRASHED runs under this run's uncommitted
+        # keys: dynamic partition overwrite only replaces partitions the
+        # data actually contains, so an expected partition that yields ZERO
+        # rows this run would otherwise leave a crashed run's partial files
+        # in place — and the read-back below would commit them as complete.
+        # The key list is this run's own (bounded by run size, ~24 B/key);
+        # leftover dirs exist only after a crash, so the common case is a
+        # handful of stat calls. On an object store this loop becomes a
+        # distributed/batched delete via the committer.
+        import shutil
+
+        exp_rows = exp.collect()
+        for r in exp_rows:
+            d = os.path.join(
+                path,
+                f"solar_day={r['solar_day']}",
+                f"tile_y={r['tile_y']}",
+                f"tile_x={r['tile_x']}",
+            )
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             todo.withColumn("solar_day", F.col("solar_day").cast("string"))
@@ -296,7 +317,7 @@ def _write_cube_fused(
         # inference on an empty store. Parquet column pruning means the
         # plane payload column is NEVER read here — only partition values
         # and the small metric columns.
-        days = [str(r[0]) for r in exp.select("solar_day").distinct().collect()]
+        days = sorted({str(r["solar_day"]) for r in exp_rows})
         day_paths = [
             p for p in (os.path.join(path, f"solar_day={d}") for d in days)
             if os.path.isdir(p)

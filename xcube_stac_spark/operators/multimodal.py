@@ -35,6 +35,11 @@ STUBBED = {"webp", "mp3", "mp4", "mkv"}
 def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     if fmt in SUPPORTED:
         return codecs.decode(data, fmt, w, h)
+    if fmt == "wav":
+        raise ValueError(
+            "fmt='wav' is audio, not an image — audio rows live in the "
+            "audio table and decode through multimodal.audio_features"
+        )
     if fmt in STUBBED:
         raise NotImplementedError(
             f"decode for fmt={fmt!r} requires an external codec library "
@@ -172,7 +177,9 @@ def audio_features(audio: DataFrame) -> DataFrame:
                 out["n_samples"].append(len(samples))
                 out["duration_sec"].append(len(samples) / sr)
                 out["rms"].append(float(np.sqrt(np.mean(x * x))))
-                out["peak"].append(int(np.max(np.abs(samples))))
+                # abs in int32: np.abs(int16 -32768) wraps to -32768 and a
+                # clipped full-scale clip would misreport its peak
+                out["peak"].append(int(np.max(np.abs(samples.astype(np.int32)))))
                 out["zcr"].append(
                     float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
                 )

@@ -282,7 +282,8 @@ def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker) and not force:
         with open(marker) as f:
-            if f"synth_version={SYNTH_VERSION}" in f.read():
+            # trailing space = exact-token match (see ensure_audio)
+            if f"synth_version={SYNTH_VERSION} " in f.read():
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
@@ -544,7 +545,9 @@ def ensure_audio(sf: str, out_root: str | None = None) -> str:
     path = os.path.join(out_dir, "audio.parquet")
     if os.path.exists(marker):
         with open(marker) as f:
-            if f"audio_version={AUDIO_VERSION}" in f.read():
+            # trailing space = exact-token match (version 1 must not match
+            # a future marker saying version 12)
+            if f"audio_version={AUDIO_VERSION} " in f.read():
                 return path
     os.makedirs(out_dir, exist_ok=True)
     rows = []
