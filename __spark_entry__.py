@@ -616,6 +616,23 @@ def _q_rectify_swath(spark, sf_dir):
     )
 
 
+def _q_rectify_swath_nc(spark, sf_dir):
+    """S9 as a real reader: the SAME rectification fed from NetCDF-3
+    classic swath granules (pure-struct codecs.decode_netcdf3 — the
+    reference's Sentinel-3 .nc container, accessors/sen3.py:172-173).
+    Oracle = the rectify_swath fixture: the nc path must land exactly on
+    the columnar path's answer, proving the container decode."""
+    from xcube_stac_spark import synth as synth_mod
+    from xcube_stac_spark.gridspec import GridSpec
+    from xcube_stac_spark.operators import swath as swath_op
+
+    nc = spark.createDataFrame(synth_mod.swath_nc_rows(), synth_mod.SWATH_NC_DDL)
+    grid = GridSpec(**fixtures.RECTIFY_GRID)
+    return swath_op.rectify_swath(swath_op.swaths_from_netcdf(nc), grid).select(
+        "item_id", "var", "tile_y", "tile_x", "valid"
+    )
+
+
 def _q_pyramid(spark, sf_dir):
     """MultiLevelDataset pyramid — per-level tile counts + mean validity
     checked against the canvas-based NumPy fixture oracle."""
@@ -717,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uv_clip": _q_uv_clip,
         "orthorectify": _q_orthorectify,
         "rectify_swath": _q_rectify_swath,
+        "rectify_swath_nc": _q_rectify_swath_nc,
         "pyramid": _q_pyramid,
         "pyramid_combined": _q_pyramid_combined,
         "describe_data": _q_describe_data,
@@ -933,6 +951,9 @@ FROM read_parquet('{SYNTH_SF001}/assets.parquet') GROUP BY item_id
     fx_dir = fixtures.ensure_fixtures("sf0.01")
     for q in fixtures.FIXTURE_QUERIES:
         sqls[q] = f"SELECT * FROM read_parquet('{fx_dir}/{q}.parquet')"
+    # the NetCDF-fed rectification must equal the columnar path exactly, so
+    # it shares the rectify_swath golden answer
+    sqls["rectify_swath_nc"] = sqls["rectify_swath"]
     return sqls
 
 

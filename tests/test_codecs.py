@@ -269,6 +269,31 @@ def test_tiff_rejects_unsupported_and_truncated():
         codecs.decode_tiff(bytes(bad))
 
 
+def test_netcdf3_roundtrip_and_rejection():
+    """CDF-1 classic container: bit-exact round trip across dtypes/shapes,
+    and loud failures on malformed streams."""
+    import pytest as _pytest
+
+    rng = np.random.default_rng(4)
+    vars_ = {
+        "longitude_an": rng.uniform(-180, 180, (13, 7)),
+        "LST": rng.uniform(200, 320, (13, 7)).astype(np.float32),
+        "counts": rng.integers(-9, 9, (5,)).astype(np.int16),
+        "flag": np.array(3, dtype=np.int32),
+    }
+    data = codecs.encode_netcdf3(vars_)
+    assert data[:4] == b"CDF\x01"
+    out = codecs.decode_netcdf3(data)
+    assert set(out) == set(vars_)
+    for k, v in vars_.items():
+        np.testing.assert_array_equal(out[k], v)
+        assert out[k].dtype == v.dtype
+    with _pytest.raises(ValueError, match="not a NetCDF"):
+        codecs.decode_netcdf3(b"HDF" + data[3:])
+    with _pytest.raises(ValueError, match="truncated NetCDF"):
+        codecs.decode_netcdf3(data[: len(data) // 2])
+
+
 def test_wav_roundtrip_and_stdlib_parity():
     """RIFF/PCM16 WAV: bit-lossless round trip, and the container is a
     REAL wav — the stdlib wave module parses it identically."""

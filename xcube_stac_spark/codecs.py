@@ -804,6 +804,146 @@ def decode_tiff(data: bytes, w: int | None = None, h: int | None = None) -> np.n
 
 
 # ---------------------------------------------------------------------------
+# NetCDF-3 classic (CDF-1) — the reference's Sentinel-3 swath container
+# (accessors/sen3.py:172-173 reads geodetic/measurement .nc files via
+# xarray). Pure-struct implementation of the public classic format
+# (NASA/Unidata spec): big-endian header with dim/attr/var lists, fixed
+# (non-record) variables only — exactly what swath granules need.
+# ---------------------------------------------------------------------------
+
+_NC_MAGIC = b"CDF\x01"
+_NC_DIMENSION, _NC_VARIABLE, _NC_ATTRIBUTE = 10, 11, 12
+#: nc_type -> (numpy big-endian dtype, size)
+_NC_TYPES = {1: (">i1", 1), 3: (">i2", 2), 4: (">i4", 4), 5: (">f4", 4), 6: (">f8", 8)}
+_NC_OF_DTYPE = {"int8": 1, "int16": 3, "int32": 4, "float32": 5, "float64": 6}
+
+
+def _nc_name(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack(">I", len(b)) + b + b"\x00" * ((-len(b)) % 4)
+
+
+def encode_netcdf3(variables: dict[str, np.ndarray]) -> bytes:
+    """Minimal CDF-1 writer: one shared dim list (deduped by size), no
+    attributes, fixed variables in dict order. Round-trips bit-exactly
+    through decode_netcdf3 and through any conforming reader."""
+    dims: list[int] = []
+    var_dimids: dict[str, list[int]] = {}
+    for name, arr in variables.items():
+        ids = []
+        for size in arr.shape:
+            if size not in dims:
+                dims.append(size)
+            ids.append(dims.index(size))
+        var_dimids[name] = ids
+
+    def header(begins: dict[str, int]) -> bytes:
+        out = [_NC_MAGIC, struct.pack(">I", 0)]  # numrecs = 0
+        out.append(struct.pack(">II", _NC_DIMENSION, len(dims)) if dims else struct.pack(">II", 0, 0))
+        for i, size in enumerate(dims):
+            out.append(_nc_name(f"dim_{i}") + struct.pack(">I", size))
+        out.append(struct.pack(">II", 0, 0))  # no global attrs
+        out.append(struct.pack(">II", _NC_VARIABLE, len(variables)))
+        for name, arr in variables.items():
+            nct = _NC_OF_DTYPE[arr.dtype.name]
+            size = _NC_TYPES[nct][1]
+            vsize = arr.size * size
+            vsize += (-vsize) % 4
+            out.append(_nc_name(name))
+            out.append(struct.pack(">I", len(var_dimids[name])))
+            for d in var_dimids[name]:
+                out.append(struct.pack(">I", d))
+            out.append(struct.pack(">II", 0, 0))  # no var attrs
+            out.append(struct.pack(">III", nct, vsize, begins.get(name, 0)))
+        return b"".join(out)
+
+    hlen = len(header({}))
+    begins, pos = {}, hlen
+    for name, arr in variables.items():
+        begins[name] = pos
+        nbytes = arr.size * _NC_TYPES[_NC_OF_DTYPE[arr.dtype.name]][1]
+        pos += nbytes + ((-nbytes) % 4)
+    body = []
+    for name, arr in variables.items():
+        nct = _NC_OF_DTYPE[arr.dtype.name]
+        raw = np.ascontiguousarray(arr).astype(_NC_TYPES[nct][0]).tobytes()
+        body.append(raw + b"\x00" * ((-len(raw)) % 4))
+    return header(begins) + b"".join(body)
+
+
+def decode_netcdf3(data: bytes) -> dict[str, np.ndarray]:
+    """CDF-1/CDF-2 reader for fixed variables (attributes parsed and
+    skipped; record variables rejected). Returns {name: native-order
+    ndarray shaped by the variable's dims}."""
+    if data[:3] != b"CDF" or data[3] not in (1, 2):
+        raise ValueError("not a NetCDF classic stream")
+    wide = data[3] == 2  # CDF-2: 64-bit begin offsets
+    pos = 8  # magic + numrecs
+
+    def u32() -> int:
+        nonlocal pos
+        (v,) = struct.unpack(">I", data[pos : pos + 4])
+        pos += 4
+        return v
+
+    def name() -> str:
+        n = u32()
+        nonlocal pos
+        s = data[pos : pos + n].decode()
+        pos += n + ((-n) % 4)
+        return s
+
+    def tagged_count(expect: int) -> int:
+        tag = u32()
+        n = u32()
+        if tag not in (0, expect) or (tag == 0 and n != 0):
+            raise ValueError(f"malformed NetCDF list (tag={tag})")
+        return n
+
+    dims = []
+    for _ in range(tagged_count(_NC_DIMENSION)):
+        name()
+        dims.append(u32())
+
+    def skip_attrs():
+        nonlocal pos
+        for _ in range(tagged_count(_NC_ATTRIBUTE)):
+            name()
+            typ = u32()
+            n = u32()
+            if typ == 2:  # char
+                nbytes = n
+            else:
+                nbytes = n * _NC_TYPES[typ][1]
+            pos += nbytes + ((-nbytes) % 4)
+
+    skip_attrs()
+    out: dict[str, np.ndarray] = {}
+    for _ in range(tagged_count(_NC_VARIABLE)):
+        vname = name()
+        ndims = u32()
+        shape = tuple(dims[u32()] for _ in range(ndims))
+        skip_attrs()
+        typ = u32()
+        u32()  # vsize (padded; recomputed from shape)
+        if wide:
+            (begin,) = struct.unpack(">Q", data[pos : pos + 8])
+            pos += 8
+        else:
+            begin = u32()
+        if shape and shape[0] == 0:
+            raise ValueError("record (unlimited-dim) variables not supported")
+        dt, size = _NC_TYPES[typ]
+        count = int(np.prod(shape)) if shape else 1
+        raw = data[begin : begin + count * size]
+        if len(raw) < count * size:
+            raise ValueError(f"truncated NetCDF variable {vname!r}")
+        arr = np.frombuffer(raw, dt, count=count).reshape(shape)
+        out[vname] = arr.astype(arr.dtype.newbyteorder("="))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # WAV — RIFF PCM16 mono (stdlib struct; the audio modality's container).
 # Not in the IMAGE dispatch tables below: audio rows live in their own
 # table and flow through operators/multimodal.audio_features.

@@ -46,6 +46,62 @@ UV_SCHEMA = T.StructType(
 )
 
 
+#: NetCDF variable names of one swath granule (Sentinel-3 SLSTR naming,
+#: reference accessors/sen3.py geodetic_an/LST reads) → columnar schema
+_NC_SWATH_VARS = (
+    ("longitude_an", "lon", np.float64),
+    ("latitude_an", "lat", np.float64),
+    ("elevation_an", "elev", np.float64),
+    ("sat_zenith_tn", "zenith", np.float64),
+    ("sat_azimuth_tn", "azimuth", np.float64),
+    ("LST", "values", np.float32),
+)
+
+SWATH_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.StringType()),
+        T.StructField("var", T.StringType()),
+        T.StructField("rows", T.IntegerType()),
+        T.StructField("cols", T.IntegerType()),
+        T.StructField("lon", T.BinaryType()),
+        T.StructField("lat", T.BinaryType()),
+        T.StructField("elev", T.BinaryType()),
+        T.StructField("zenith", T.BinaryType()),
+        T.StructField("azimuth", T.BinaryType()),
+        T.StructField("values", T.BinaryType()),
+    ]
+)
+
+
+def swaths_from_netcdf(nc_granules: DataFrame) -> DataFrame:
+    """S9 as a REAL reader: decode NetCDF-3 classic swath granules
+    (item_id, var, nc:binary) into the columnar ``swaths`` table every
+    swath operator consumes — the Spark re-expression of the reference's
+    per-file xarray open (accessors/sen3.py:172-173), as an Arrow-batched
+    map over inline container bytes (codecs.decode_netcdf3, pure struct).
+    Decoded planes are bit-identical to the generator's raw-column path
+    (pinned by test)."""
+    from xcube_stac_spark import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in SWATH_SCHEMA.fields}
+            for r in pdf.itertuples(index=False):
+                v = codecs.decode_netcdf3(bytes(r.nc))
+                shape = v["longitude_an"].shape
+                out["item_id"].append(r.item_id)
+                out["var"].append(r.var)
+                out["rows"].append(int(shape[0]))
+                out["cols"].append(int(shape[1]))
+                for nc_name, col, dt in _NC_SWATH_VARS:
+                    out[col].append(
+                        np.ascontiguousarray(v[nc_name], dtype=dt).tobytes()
+                    )
+            yield pd.DataFrame(out)
+
+    return nc_granules.mapInPandas(run, SWATH_SCHEMA)
+
+
 def uv_clip_scenes(scenes: DataFrame, query_bbox: Sequence[float]) -> DataFrame:
     """Per-scene UV sub-rectangle of a query bbox inside the footprint
     (TPS over the 4 orbit-oriented corners). hit=False → footprint missed.

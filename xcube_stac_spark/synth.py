@@ -635,6 +635,31 @@ SWATH_DDL = (
     "elev binary, zenith binary, azimuth binary, values binary"
 )
 
+SWATH_NC_DDL = "item_id string, var string, nc binary"
+
+
+def swath_nc_rows(n: int = 4, rows: int = 40, cols: int = 30) -> list[dict]:
+    """The SAME granules as swath_rows, packed as real NetCDF-3 classic
+    containers with Sentinel-3-style variable names (the reference reads
+    geodetic_an.nc / LST_in.nc through xarray, accessors/sen3.py:172-173).
+    operators/swath.swaths_from_netcdf decodes these back to the columnar
+    swath shape bit-exactly (pinned by test)."""
+    out = []
+    for r in swath_rows(n, rows, cols):
+        shape = (r["rows"], r["cols"])
+        nc = codecs.encode_netcdf3(
+            {
+                "longitude_an": np.frombuffer(r["lon"], np.float64).reshape(shape),
+                "latitude_an": np.frombuffer(r["lat"], np.float64).reshape(shape),
+                "elevation_an": np.frombuffer(r["elev"], np.float64).reshape(shape),
+                "sat_zenith_tn": np.frombuffer(r["zenith"], np.float64).reshape(shape),
+                "sat_azimuth_tn": np.frombuffer(r["azimuth"], np.float64).reshape(shape),
+                "LST": np.frombuffer(r["values"], np.float32).reshape(shape),
+            }
+        )
+        out.append(dict(item_id=r["item_id"], var=r["var"], nc=nc))
+    return out
+
 
 def default_grid(sf: str, tile: int = 64, res_factor: float = 1.1) -> GridSpec:
     """Target cube grid for a scale factor: lon/lat grid over the synthetic
