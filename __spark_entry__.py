@@ -396,6 +396,25 @@ def _q_audio_features(spark, sf_dir):
     )
 
 
+def _q_layout_scene_search(spark, sf_dir):
+    """J1/S4 served from the at-rest SPATIAL layout: scenes materialized
+    partitioned by coarse covering cell (write_scene_layout), then the
+    region query runs as a statically partition-pruned scan + refine
+    (probe_scene_layout). The layout is a materialization, not new
+    semantics, so the oracle is spatial_join_region's SQL verbatim."""
+    import tempfile
+
+    cat = _cat(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"xss_scene_layout_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    spatial.write_scene_layout(cat.scenes(), path)
+    return spatial.probe_scene_layout(
+        spark, path, REGION, time_range=TIME_RANGE
+    ).select("item_id", "tile_id")
+
+
 def _q_embedding_clusters(spark, sf_dir):
     """K-means document clustering over the embeddings table (the
     training-pipeline corpus-partitioning op): deterministic sample-based
@@ -719,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_clusters": _q_embedding_clusters,
         "audio_features": _q_audio_features,
+        "layout_scene_search": _q_layout_scene_search,
         "ann_near_dup": _q_ann_near_dup,
         "events_sessionize": _q_events_sessionize,
         "events_window": _q_events_window,
@@ -954,6 +974,9 @@ FROM read_parquet('{SYNTH_SF001}/assets.parquet') GROUP BY item_id
     # the NetCDF-fed rectification must equal the columnar path exactly, so
     # it shares the rectify_swath golden answer
     sqls["rectify_swath_nc"] = sqls["rectify_swath"]
+    # the at-rest spatial layout is a materialization of the same search:
+    # its probe must equal the base-table region join row-for-row
+    sqls["layout_scene_search"] = sqls["spatial_join_region"]
     return sqls
 
 
