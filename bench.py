@@ -100,7 +100,8 @@ def run_bench() -> dict:
         "knn_tiles", "bbox_union", "lineage", "tpch_q1", "events_daily",
         "exact_dedup", "minhash_near_dup", "ngram_jaccard", "ann_topk",
         "ann_lsh_topk", "ann_ivf_topk", "embedding_clusters", "image_stats",
-        "audio_features", "events_sessionize",
+        "audio_features", "rectify_swath_nc", "layout_scene_search",
+        "events_sessionize",
     ]:
         q_runs = []
         for _ in range(REPEATS):
