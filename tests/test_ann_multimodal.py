@@ -417,3 +417,19 @@ def test_tiff_is_supported_and_in_corpus(spark):
     tiff_rows = mm_op.image_stats(imgs.where(F.col("fmt") == "tiff")).collect()
     assert tiff_rows, "synth corpus must include tiff payloads"
     assert all(r.phash_hamming == 0 for r in tiff_rows)
+
+
+def test_assign_l2_chunked_is_bit_identical():
+    """The Lloyd assignment step chunks its rows (the full (n,k,dim)
+    broadcast tensor is ~4 GB at trainer defaults); chunked argmin must be
+    BIT-identical to the one-shot tensor, including first-min tie-breaks."""
+    rng = np.random.default_rng(11)
+    V = rng.normal(size=(37, 5))
+    C = V[:6].copy()
+    V[20] = C[3]  # exact tie candidate
+    V[21] = C[3]
+    full = np.argmin(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
+    for chunk in (1, 3, 16, 37, 1000):
+        np.testing.assert_array_equal(ann_op._assign_l2(V, C, chunk=chunk), full)
+    # default chunk sizing stays bounded for the trainer defaults
+    assert ann_op._assign_l2(V, C) is not None

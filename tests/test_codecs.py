@@ -379,3 +379,29 @@ def test_tiff_8bit_scales_like_jpeg_path():
     data = struct.pack("<2sHI", b"II", 42, ifd_off) + strips + ifd
     out = codecs.decode_tiff(data)
     np.testing.assert_array_equal(out, img8.astype(np.uint16) * 257)
+
+
+def test_cog_tile_dims_forced_to_multiple_of_16():
+    """TIFF 6.0 §15: TileWidth/TileLength must be multiples of 16. A
+    caller-supplied odd tile size is rounded down (never below 16) so
+    external readers accept the file; roundtrip stays lossless."""
+    import struct as _s
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 65536, size=(300, 517), dtype=np.uint16)
+    for ts in (100, 17, 16, 250):
+        data = codecs.encode_cog(img, tile_size=ts)
+        (ifd_off,) = _s.unpack("<I", data[4:8])
+        (n,) = _s.unpack("<H", data[ifd_off : ifd_off + 2])
+        tags = {}
+        for i in range(n):
+            t, ty, c = _s.unpack(
+                "<HHI", data[ifd_off + 2 + i * 12 : ifd_off + 10 + i * 12]
+            )
+            (v,) = _s.unpack(
+                "<I", data[ifd_off + 10 + i * 12 : ifd_off + 14 + i * 12]
+            )
+            tags[t] = v
+        assert tags[322] % 16 == 0 and tags[322] >= 16
+        assert tags[323] % 16 == 0 and tags[323] >= 16
+        np.testing.assert_array_equal(codecs.decode_tiff(data), img)

@@ -669,6 +669,10 @@ def encode_cog(img: np.ndarray, tile_size: int = 256) -> bytes:
     while envelope < max(h, w) and envelope < ts:
         envelope *= 2
     ts = min(ts, envelope)
+    # TIFF 6.0 §15: TileWidth/TileLength MUST be multiples of 16 — round a
+    # caller-supplied odd size down so external readers (GDAL/libtiff)
+    # accept the file (the envelope values above are already powers of two)
+    ts = max(16, (ts // 16) * 16)
     nty = -(-h // ts)
     ntx = -(-w // ts)
     pad = np.pad(img, ((0, nty * ts - h), (0, ntx * ts - w)), mode="edge")

@@ -247,6 +247,25 @@ def ivf_k_for(n_vectors: int, sample_size: int = IVF_TRAIN_SAMPLE) -> int:
     return max(1, min(k, IVF_K_MAX, max(1, sample_size // 4)))
 
 
+def _assign_l2(V: np.ndarray, C: np.ndarray, chunk: int | None = None) -> np.ndarray:
+    """First-min L2 argmin of each row of V against centroids C. The
+    (n, k, dim) broadcast-difference tensor is ~4 GB at the trainer
+    defaults (4096 x 1024 x 128 float64) — chunk the ROWS so the transient
+    stays <= ~64 MB. Chunking is BIT-IDENTICAL to the full tensor (each
+    row's squared-difference sum and argmin are independent), unlike the
+    ||x||^2+||c||^2-2xC^T expansion whose float rounding could flip
+    near-tie argmins and change the codebook."""
+    k, dim = C.shape
+    if chunk is None:
+        chunk = max(1, (64 << 20) // (max(1, k) * max(1, dim) * 8))
+    a = np.empty(len(V), dtype=np.int64)
+    for s in range(0, len(V), chunk):
+        Vc = V[s : s + chunk]
+        d = ((Vc[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a[s : s + len(Vc)] = np.argmin(d, axis=1)
+    return a
+
+
 def _lloyd_numpy(
     V: np.ndarray, k: int, iters: int, round_digits: int
 ) -> np.ndarray:
@@ -260,8 +279,7 @@ def _lloyd_numpy(
     k = max(1, min(int(k), len(V)))
     C = V[:k].copy()
     for _ in range(iters):
-        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        a = np.argmin(d, axis=1)
+        a = _assign_l2(V, C)
         for c in range(k):
             members = V[a == c]
             if len(members):
