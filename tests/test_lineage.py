@@ -93,12 +93,15 @@ def test_write_cube_plan_has_no_driver_collect(small_cube, tmp_path):
 
     src = inspect.getsource(lineage.write_cube)
     assert ".collect()" not in src and "toPandas" not in src
-    # the fused path is allowed EXACTLY ONE collect: the expected-partition
-    # KEY list (bounded by the run's own size, ~24 B/key — used for the
-    # crash-leftover pre-clean and the day-pruned read-back listing);
-    # anything more would reintroduce the driver bottleneck
+    # the fused path is allowed EXACTLY ONE collect: the DISTINCT DAY list
+    # (one value per solar day in the run — used for the day-pruned
+    # read-back listing); the crash-leftover pre-clean is a distributed
+    # mapInPandas stage, so nothing partition-count-shaped crosses the
+    # driver
     fused = inspect.getsource(lineage._write_cube_fused)
     assert fused.count(".collect()") == 1 and "toPandas" not in fused
+    pc = inspect.getsource(lineage._preclean_distributed)
+    assert ".collect()" not in pc and "toPandas" not in pc
 
 
 def test_metrics_content(spark, small_cube, tmp_path):
@@ -216,3 +219,123 @@ def test_concurrent_writes_commit_the_union(spark, small_cube, small_expected, t
     back = lineage.read_cube(spark, out)
     assert {(str(r.solar_day), r.tile_y, r.tile_x)
             for r in back.select("solar_day", "tile_y", "tile_x").distinct().collect()} == want
+
+
+def _first_committed_key(spark, out):
+    r = lineage.committed_partitions(spark, out).orderBy(
+        "solar_day", "tile_y", "tile_x"
+    ).first()
+    return str(r.solar_day), r.tile_y, r.tile_x
+
+
+def test_full_rewrite_never_deletes_committed_dirs(
+    spark, small_cube, small_expected, tmp_path
+):
+    """resume=False pre-clean must be restricted to expected-MINUS-committed
+    keys: a committed partition whose recompute yields ZERO rows this run
+    keeps its directory and data (before the fix the dir was rmtree'd up
+    front, leaving the store missing data the commit log records as
+    committed — silent, permanent loss on the next resume)."""
+    out = str(tmp_path / "rewrite")
+    m1 = lineage.write_cube(small_cube, out, expected_partitions=small_expected)
+    assert m1["written_partitions"] > 0
+    day, ty, tx = _first_committed_key(spark, out)
+    part_dir = os.path.join(out, f"solar_day={day}", f"tile_y={ty}", f"tile_x={tx}")
+    assert os.path.isdir(part_dir)
+    before = {
+        (str(r.solar_day), r.band, r.tile_y, r.tile_x)
+        for r in lineage.read_cube(spark, out)
+        .where(
+            (F.col("solar_day").cast("string") == day)
+            & (F.col("tile_y") == ty)
+            & (F.col("tile_x") == tx)
+        )
+        .collect()
+    }
+    assert before
+    # full rewrite whose input is missing that partition's rows entirely
+    sub = small_cube.where(
+        ~(
+            (F.col("solar_day").cast("string") == day)
+            & (F.col("tile_y") == ty)
+            & (F.col("tile_x") == tx)
+        )
+    )
+    lineage.write_cube(sub, out, resume=False, expected_partitions=small_expected)
+    assert os.path.isdir(part_dir), "committed dir was pre-cleaned away"
+    after = {
+        (str(r.solar_day), r.band, r.tile_y, r.tile_x)
+        for r in lineage.read_cube(spark, out)
+        .where(
+            (F.col("solar_day").cast("string") == day)
+            & (F.col("tile_y") == ty)
+            & (F.col("tile_x") == tx)
+        )
+        .collect()
+    }
+    assert after == before
+
+
+def test_fused_precleans_crash_leftovers(
+    spark, small_cube, small_expected, tmp_path
+):
+    """An UNCOMMITTED expected partition with leftover files from a crashed
+    run, whose recompute yields zero rows, must have its dir removed by the
+    distributed pre-clean (otherwise the read-back would commit the crashed
+    run's partial files as complete)."""
+    out = str(tmp_path / "crashpc")
+    r = small_expected.orderBy("solar_day", "tile_y", "tile_x").first()
+    day, ty, tx = str(r.solar_day), r.tile_y, r.tile_x
+    junk_dir = os.path.join(out, f"solar_day={day}", f"tile_y={ty}", f"tile_x={tx}")
+    os.makedirs(junk_dir)
+    with open(os.path.join(junk_dir, "part-crashed.parquet"), "wb") as f:
+        f.write(b"not really parquet")
+    sub = small_cube.where(
+        ~(
+            (F.col("solar_day").cast("string") == day)
+            & (F.col("tile_y") == ty)
+            & (F.col("tile_x") == tx)
+        )
+    )
+    m = lineage.write_cube(sub, out, expected_partitions=small_expected)
+    assert not os.path.exists(junk_dir), "crash leftover survived pre-clean"
+    committed = {
+        (str(c.solar_day), c.tile_y, c.tile_x)
+        for c in lineage.committed_partitions(spark, out).collect()
+    }
+    assert (day, ty, tx) not in committed
+    assert m["written_partitions"] == len(committed)
+
+
+def test_fused_readback_tolerates_ancient_store_without_data_bytes(
+    spark, small_cube, small_expected, tmp_path
+):
+    """A store written before data_bytes existed (payload column only, jsonl
+    commit log): a fused zero-row run over it must fall back to measuring
+    the plane column instead of raising AnalysisException, and return a
+    graceful zero-commit."""
+    import json as _json
+
+    out = str(tmp_path / "ancient")
+    (
+        small_cube.withColumn("solar_day", F.col("solar_day").cast("string"))
+        .write.mode("overwrite")
+        .partitionBy("solar_day", "tile_y", "tile_x")
+        .parquet(out)
+    )
+    os.makedirs(lineage._log_dir(out), exist_ok=True)
+    keys = small_cube.select("solar_day", "tile_y", "tile_x").distinct().collect()
+    # commit all but one key so one expected partition stays uncommitted
+    # while its DAY directory exists (the scan then contains only ancient
+    # files — the exact AnalysisException scenario)
+    with open(os.path.join(lineage._log_dir(out), "commit-legacy.jsonl"), "w") as f:
+        for r in keys[1:]:
+            f.write(
+                _json.dumps(
+                    {"solar_day": str(r.solar_day), "tile_y": r.tile_y, "tile_x": r.tile_x}
+                )
+                + "\n"
+            )
+    empty = small_cube.where(F.lit(False))
+    m = lineage.write_cube(empty, out, expected_partitions=small_expected)
+    assert m["written_partitions"] == 0

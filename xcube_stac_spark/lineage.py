@@ -214,8 +214,13 @@ def write_cube(
         # output on exactly this write key (write_aligned default), so a
         # shuffle of the full planes would be pure extra byte movement;
         # non-mosaic inputs just produce a few more files per partition dir
+        # data_bytes is written here too (not only in the fused path) so a
+        # store with mixed legacy+fused files keeps a uniform schema and the
+        # fused read-back's column-pruned metrics never have to touch the
+        # plane payload column
         (
             todo.withColumn("solar_day", F.col("solar_day").cast("string"))
+            .withColumn("data_bytes", F.octet_length("data"))
             .write.mode("overwrite")
             .partitionBy(*PART_COLS)
             .parquet(path)
@@ -246,6 +251,46 @@ def _publish_commit(path: str, staging: str, run_id: str, n_parts: int,
     return run_row
 
 
+def _preclean_distributed(keys: DataFrame, path: str) -> None:
+    """Delete partition directories for the given (solar_day, tile_y,
+    tile_x) keys as ONE distributed mapInPandas stage: each task rmtrees
+    its batch of keys against the shared store, so driver work is O(1) in
+    the key count (vs the prior per-key driver isdir+rmtree loop — minutes
+    of driver stats at 10^5-10^6 keys before any task launched). Leftover
+    dirs exist only after a crash, so tasks mostly do a single isdir miss.
+    On an object store the same stage issues batched DeleteObjects calls."""
+
+    def rm(batches):
+        import shutil
+
+        import pandas as pd
+
+        for pdf in batches:
+            n = 0
+            for r in pdf.itertuples(index=False):
+                d = os.path.join(
+                    path,
+                    f"solar_day={r.solar_day}",
+                    f"tile_y={int(r.tile_y)}",
+                    f"tile_x={int(r.tile_x)}",
+                )
+                if os.path.isdir(d):
+                    shutil.rmtree(d, ignore_errors=True)
+                    n += 1
+            yield pd.DataFrame({"n_removed": [n]})
+
+    (
+        keys.select(
+            F.col("solar_day").cast("string").alias("solar_day"),
+            "tile_y",
+            "tile_x",
+        )
+        .mapInPandas(rm, "n_removed int")
+        .agg(F.sum("n_removed"))
+        .first()
+    )
+
+
 def _write_cube_fused(
     cube: DataFrame,
     path: str,
@@ -261,13 +306,25 @@ def _write_cube_fused(
     spark = cube.sparkSession
     done = committed_partitions(spark, path)
     have_commits = not done.isEmpty()
-    exp = expected_partitions.select(
+    exp_all = expected_partitions.select(
         F.to_date(F.col("solar_day").cast("string")).alias("solar_day"),
         F.col("tile_y").cast("int").alias("tile_y"),
         F.col("tile_x").cast("int").alias("tile_x"),
     ).distinct()
-    if resume and have_commits:
-        exp = exp.join(F.broadcast(done), PART_COLS, "left_anti")
+    # UNCOMMITTED expected keys — the only keys whose directories may hold
+    # crash leftovers and may safely be deleted. Committed directories are
+    # NEVER pre-cleaned, in either resume mode: with resume=False the run
+    # rewrites them via dynamic partition overwrite (which replaces a dir
+    # only when new rows actually land), so deleting them up front would
+    # turn a mid-write crash — or a zero-row partition — into silent data
+    # loss that the commit log still records as committed.
+    uncommitted = (
+        exp_all.join(F.broadcast(done), PART_COLS, "left_anti")
+        if have_commits
+        else exp_all
+    )
+    # resume narrows the run to uncommitted keys; a full rewrite covers all
+    exp = uncommitted if (resume and have_commits) else exp_all
     exp = exp.persist()  # one row per partition key — tiny at any cube size
     try:
         if exp.isEmpty():
@@ -275,27 +332,16 @@ def _write_cube_fused(
         todo = cube
         if resume and have_commits:
             todo = todo.join(F.broadcast(done), PART_COLS, "left_anti")
-        # pre-clean leftovers of CRASHED runs under this run's uncommitted
-        # keys: dynamic partition overwrite only replaces partitions the
-        # data actually contains, so an expected partition that yields ZERO
-        # rows this run would otherwise leave a crashed run's partial files
-        # in place — and the read-back below would commit them as complete.
-        # The key list is this run's own (bounded by run size, ~24 B/key);
-        # leftover dirs exist only after a crash, so the common case is a
-        # handful of stat calls. On an object store this loop becomes a
-        # distributed/batched delete via the committer.
-        import shutil
-
-        exp_rows = exp.collect()
-        for r in exp_rows:
-            d = os.path.join(
-                path,
-                f"solar_day={r['solar_day']}",
-                f"tile_y={r['tile_y']}",
-                f"tile_x={r['tile_x']}",
-            )
-            if os.path.isdir(d):
-                shutil.rmtree(d, ignore_errors=True)
+        # pre-clean leftovers of CRASHED runs under the uncommitted keys:
+        # dynamic partition overwrite only replaces partitions the data
+        # actually contains, so an expected partition that yields ZERO rows
+        # this run would otherwise leave a crashed run's partial files in
+        # place — and the read-back below would commit them as complete.
+        # The delete runs DISTRIBUTED (one mapInPandas stage over the key
+        # DataFrame): no per-key driver filesystem calls, so a 100x-scale
+        # run with 10^5-10^6 partition keys launches tasks immediately
+        # instead of stat-ing the store from the driver first.
+        _preclean_distributed(uncommitted, path)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             todo.withColumn("solar_day", F.col("solar_day").cast("string"))
@@ -317,22 +363,36 @@ def _write_cube_fused(
         # inference on an empty store. Parquet column pruning means the
         # plane payload column is NEVER read here — only partition values
         # and the small metric columns.
-        days = sorted({str(r["solar_day"]) for r in exp_rows})
+        days = sorted(
+            str(r["solar_day"])
+            for r in exp.select("solar_day").distinct().collect()
+        )
         day_paths = [
             p for p in (os.path.join(path, f"solar_day={d}") for d in days)
             if os.path.isdir(p)
         ]
         if not day_paths:
             return {"written_partitions": 0, "elapsed_sec": 0.0, "resumed": resume}
-        rb = (
+        rb0 = (
             spark.read.option("mergeSchema", "true")
             .option("basePath", path)
             .parquet(*day_paths)
-            .select(
+        )
+        # legacy-path files lack the precomputed data_bytes column; if the
+        # merged schema doesn't carry it (pure-legacy day dirs), fall back
+        # to measuring the payload column — correctness over pruning in
+        # that edge case, the fused-written common case never reads planes
+        byte_col = (
+            F.col("data_bytes")
+            if "data_bytes" in rb0.columns
+            else F.octet_length("data")
+        )
+        rb = (
+            rb0.select(
                 F.to_date(F.col("solar_day").cast("string")).alias("solar_day"),
                 F.col("tile_y").cast("int").alias("tile_y"),
                 F.col("tile_x").cast("int").alias("tile_x"),
-                "n_scenes", "item_ids", "data_bytes",
+                "n_scenes", "item_ids", byte_col.alias("data_bytes"),
             )
             .join(F.broadcast(exp), PART_COLS, "left_semi")
         )
