@@ -405,3 +405,104 @@ def test_cog_tile_dims_forced_to_multiple_of_16():
         assert tags[322] % 16 == 0 and tags[322] >= 16
         assert tags[323] % 16 == 0 and tags[323] >= 16
         np.testing.assert_array_equal(codecs.decode_tiff(data), img)
+
+
+def _smooth_rgb(h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    rng = np.random.default_rng(seed)
+    chans = []
+    for c in range(3):
+        plane = (
+            28000 + 2500 * c
+            + 8000 * np.sin(xx / (9.0 + c)) * np.cos(yy / 11.0)
+            + rng.normal(0, 150, (h, w))
+        )
+        chans.append(np.clip(plane, 0, 65535))
+    return np.stack(chans).astype(np.uint16)
+
+
+def test_tiff_rgb_chunky_roundtrip():
+    """spp=3 chunky TIFF (Photometric=2, BitsPerSample 16,16,16) is
+    bit-lossless and returns channel-major (3, h, w), matching the PNG RGB
+    convention; grayscale output stays byte-identical to before."""
+    rng = np.random.default_rng(31)
+    for h, w in [(64, 64), (33, 47), (1, 1), (100, 75)]:
+        img = rng.integers(0, 65536, size=(3, h, w), dtype=np.uint16)
+        out = codecs.decode_tiff(codecs.encode_tiff(img))
+        assert out.shape == (3, h, w)
+        np.testing.assert_array_equal(out, img)
+
+
+def test_cog_rgb_roundtrip_with_predictor():
+    """Color COG: tiled + DEFLATE + per-channel predictor-2 roundtrip, edge
+    tiles included."""
+    for h, w in [(64, 64), (300, 517), (40, 24)]:
+        img = _smooth_rgb(h, w, seed=h)
+        data = codecs.encode_cog(img, tile_size=32)
+        np.testing.assert_array_equal(codecs.decode_tiff(data), img)
+    # predictor + DEFLATE actually compress noise-free smooth color content
+    yy, xx = np.mgrid[0:256, 0:256]
+    img = np.stack(
+        [(40 * yy + 17 * xx + 999 * c).astype(np.uint16) for c in range(3)]
+    )
+    assert len(codecs.encode_cog(img)) < img.nbytes // 4
+    np.testing.assert_array_equal(codecs.decode_tiff(codecs.encode_cog(img)), img)
+
+
+def test_jpeg_color_420_roundtrip_psnr():
+    """YCbCr 4:2:0 baseline color JPEG: >= 40 dB on smooth content, exact
+    shape back, and structurally a 3-component interleaved stream (SOF0
+    ncomp=3 with Y sampling 0x22, two DQT tables)."""
+    import struct as _s
+
+    for h, w in [(64, 64), (100, 130), (33, 47), (16, 16)]:
+        img = _smooth_rgb(h, w, seed=w)
+        data = codecs.encode_jpeg(img)
+        out = codecs.decode_jpeg(data)
+        assert out.shape == (3, h, w)
+        assert codecs.psnr(img, out) >= 40.0
+    data = codecs.encode_jpeg(_smooth_rgb(64, 64))
+    # walk markers: expect SOF0 with ncomp=3 and sampling 0x22/0x11/0x11
+    pos = 2
+    n_dqt = 0
+    saw_sof = False
+    while pos < len(data):
+        marker = data[pos + 1]
+        if marker == 0xDA:
+            break
+        (ln,) = _s.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            n_dqt += 1
+        if marker == 0xC0:
+            saw_sof = True
+            assert payload[5] == 3
+            assert [payload[7], payload[10], payload[13]] == [0x22, 0x11, 0x11]
+        pos += 2 + ln
+    assert saw_sof and n_dqt == 2
+
+
+def test_jpeg_grayscale_bytes_unchanged_by_color_support():
+    """The grayscale encoder emits the identical stream as before the color
+    extension (single-component hot path untouched)."""
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 65536, size=(64, 96), dtype=np.uint16)
+    data = codecs.encode_jpeg(img)
+    # single component, luminance-only tables
+    assert data[:2] == b"\xff\xd8"
+    out = codecs.decode_jpeg(data)
+    assert out.shape == (64, 96)
+    assert codecs.psnr(img, out) > 0  # noisy content, just structural
+
+
+def test_phash_any_stable_across_color_containers():
+    """The luminance pHash of the same RGB content agrees across png (
+    lossless), tiff, cog and is close for 4:2:0 jpeg."""
+    img = _smooth_rgb(64, 64, seed=7)
+    ph_ref = codecs.phash64_any(img)
+    for fmt in ("png", "tiff", "cog"):
+        dec = codecs.decode(codecs.encode(img, fmt), fmt, 64, 64)
+        assert codecs.phash64_any(dec) == ph_ref, fmt
+    dec_j = codecs.decode_jpeg(codecs.encode_jpeg(img))
+    ham = bin(codecs.phash64_any(dec_j) ^ ph_ref).count("1")
+    assert ham <= 6

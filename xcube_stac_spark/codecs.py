@@ -278,6 +278,48 @@ _AC_VALS = [
 ]
 
 
+# Annex K.2 chrominance quantization table (natural order), same
+# quality-90 scaling as the luminance table
+_JQT_C_BASE = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float64,
+)
+_JQT_C = np.clip(
+    np.floor((_JQT_C_BASE * (200 - 2 * _JPEG_QUALITY) + 50) / 100), 1, 255
+)
+
+# Annex K.3.3: chrominance DC
+_DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_C_VALS = list(range(12))
+# Annex K.3.4: chrominance AC
+_AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
 def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
     out = {}
@@ -294,6 +336,8 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
 
 _DC_ENC = _huff_codes(_DC_BITS, _DC_VALS)
 _AC_ENC = _huff_codes(_AC_BITS, _AC_VALS)
+_DC_C_ENC = _huff_codes(_DC_C_BITS, _DC_C_VALS)
+_AC_C_ENC = _huff_codes(_AC_C_BITS, _AC_C_VALS)
 
 
 @lru_cache(maxsize=8)
@@ -345,8 +389,60 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
+def _put_block(bw: "_BitWriter", blk: np.ndarray, dc_enc: dict, ac_enc: dict,
+               prev_dc: int) -> int:
+    """Entropy-code one zigzag block (T.81 F.1.2); returns the block's DC
+    for the caller's per-component predictor."""
+    dc = int(blk[0])
+    diff = dc - prev_dc
+    s = _category(diff)
+    c, ln = dc_enc[s]
+    bw.put(c, ln)
+    if s:
+        bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(blk[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_enc[0xF0]  # ZRL
+            bw.put(c, ln)
+            run -= 16
+        s = _category(v)
+        c, ln = ac_enc[(run << 4) | s]
+        bw.put(c, ln)
+        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        c, ln = ac_enc[0x00]  # EOB
+        bw.put(c, ln)
+    return dc
+
+
+def _jseg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _quant_zz(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(nby, nbx, 64) zigzag-quantized DCT coefficients of a level-shifted
+    8-bit plane whose dims are already multiples of 8."""
+    H, W = plane.shape
+    blocks = plane.reshape(H // _B, _B, W // _B, _B).transpose(0, 2, 1, 3)
+    coeff = _DCT @ (blocks - 128.0) @ _DCT.T
+    q = np.round(coeff / qt).astype(np.int32)
+    return q.reshape(H // _B, W // _B, 64)[:, :, _ZZ]
+
+
 def encode_jpeg(img: np.ndarray) -> bytes:
-    """Baseline JFIF bytes for a uint16 image (8-bit mapped, quality 90)."""
+    """Baseline JFIF bytes (8-bit mapped, quality 90): 2-D uint16 input →
+    single-component grayscale; channel-major (3, h, w) input → YCbCr
+    4:2:0 color (the consumer-camera default chroma layout)."""
+    if np.asarray(img).ndim == 3:
+        return _encode_jpeg_color(img)
     img8 = np.round(np.asarray(img, np.float64) / 257.0)
     blocks, h, w, H, W = _blockify(img8)
     coeff = _DCT @ (blocks - 128.0) @ _DCT.T
@@ -357,38 +453,8 @@ def encode_jpeg(img: np.ndarray) -> bytes:
     bw = _BitWriter()
     prev_dc = 0
     for blk in zz:
-        dc = int(blk[0])
-        diff = dc - prev_dc
-        prev_dc = dc
-        s = _category(diff)
-        c, ln = _DC_ENC[s]
-        bw.put(c, ln)
-        if s:
-            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-        run = 0
-        nz = np.nonzero(blk[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for i in range(1, last + 1):
-            v = int(blk[i])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                c, ln = _AC_ENC[0xF0]  # ZRL
-                bw.put(c, ln)
-                run -= 16
-            s = _category(v)
-            c, ln = _AC_ENC[(run << 4) | s]
-            bw.put(c, ln)
-            bw.put(v if v > 0 else v + (1 << s) - 1, s)
-            run = 0
-        if last < 63:
-            c, ln = _AC_ENC[0x00]  # EOB
-            bw.put(c, ln)
+        prev_dc = _put_block(bw, blk, _DC_ENC, _AC_ENC, prev_dc)
     bw.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     qt_zz = _JQT.flatten()[_ZZ].astype(np.uint8).tobytes()
     dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
@@ -396,14 +462,74 @@ def encode_jpeg(img: np.ndarray) -> bytes:
     return b"".join(
         [
             b"\xff\xd8",  # SOI
-            seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
-            seg(0xFFDB, b"\x00" + qt_zz),  # DQT, 8-bit, table 0
-            seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"),  # SOF0
-            seg(0xFFC4, dht_dc),
-            seg(0xFFC4, dht_ac),
-            seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00"),  # SOS
+            _jseg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+            _jseg(0xFFDB, b"\x00" + qt_zz),  # DQT, 8-bit, table 0
+            _jseg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"),  # SOF0
+            _jseg(0xFFC4, dht_dc),
+            _jseg(0xFFC4, dht_ac),
+            _jseg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00"),  # SOS
             bytes(bw.out),
             b"\xff\xd9",  # EOI
+        ]
+    )
+
+
+def _encode_jpeg_color(img: np.ndarray) -> bytes:
+    """YCbCr 4:2:0 baseline JFIF: Y keeps full resolution (sampling 2x2),
+    Cb/Cr are 2x2 box-subsampled (1x1) — one MCU covers 16x16 pixels as
+    4 Y + 1 Cb + 1 Cr interleaved blocks (T.81 A.2.3). Chroma uses the
+    Annex K.2 quant + K.3.3/K.3.4 Huffman tables."""
+    img = np.asarray(img, np.float64)
+    if img.shape[0] != 3:
+        raise ValueError(f"color JPEG input must be (3, h, w), got {img.shape}")
+    R, G, B = np.round(img / 257.0)
+    # JFIF YCbCr (BT.601 full-range)
+    Y = 0.299 * R + 0.587 * G + 0.114 * B
+    Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
+    Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+    h, w = Y.shape
+    H = h + ((-h) % 16)
+    W = w + ((-w) % 16)
+
+    def pad16(p):
+        return np.pad(p, ((0, H - h), (0, W - w)), mode="edge")
+
+    qY = _quant_zz(pad16(Y), _JQT)
+    sub = lambda p: pad16(p).reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+    qCb = _quant_zz(sub(Cb), _JQT_C)
+    qCr = _quant_zz(sub(Cr), _JQT_C)
+
+    bw = _BitWriter()
+    dcY = dcCb = dcCr = 0
+    for my in range(H // 16):
+        for mx in range(W // 16):
+            for by, bx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                dcY = _put_block(
+                    bw, qY[2 * my + by, 2 * mx + bx], _DC_ENC, _AC_ENC, dcY
+                )
+            dcCb = _put_block(bw, qCb[my, mx], _DC_C_ENC, _AC_C_ENC, dcCb)
+            dcCr = _put_block(bw, qCr[my, mx], _DC_C_ENC, _AC_C_ENC, dcCr)
+    bw.flush()
+
+    qt0 = _JQT.flatten()[_ZZ].astype(np.uint8).tobytes()
+    qt1 = _JQT_C.flatten()[_ZZ].astype(np.uint8).tobytes()
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    return b"".join(
+        [
+            b"\xff\xd8",
+            _jseg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+            _jseg(0xFFDB, b"\x00" + qt0),
+            _jseg(0xFFDB, b"\x01" + qt1),
+            _jseg(0xFFC0, sof),
+            _jseg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)),
+            _jseg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)),
+            _jseg(0xFFC4, bytes([0x01]) + bytes(_DC_C_BITS) + bytes(_DC_C_VALS)),
+            _jseg(0xFFC4, bytes([0x11]) + bytes(_AC_C_BITS) + bytes(_AC_C_VALS)),
+            _jseg(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"),
+            bytes(bw.out),
+            b"\xff\xd9",
         ]
     )
 
@@ -419,6 +545,9 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
     ac_tabs: dict[int, tuple] = {}
     width = height = None
     comp_qt = comp_dc = comp_ac = 0
+    ncomp = 1
+    comps: list[tuple[int, int, int]] = []
+    scan_tabs: dict[int, tuple[int, int]] = {}
     scan = None
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -444,12 +573,21 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
                 p += 65
         elif marker == 0xC0:  # SOF0 baseline
             prec, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise ValueError(
-                    f"only 8-bit single-component baseline supported "
+                    f"only 8-bit 1- or 3-component baseline supported "
                     f"(got precision={prec}, components={ncomp})"
                 )
-            comp_qt = payload[8]
+            comps = [
+                (payload[6 + 3 * i], payload[7 + 3 * i], payload[8 + 3 * i])
+                for i in range(ncomp)
+            ]  # (id, sampling HV, quant table id)
+            comp_qt = comps[0][2]
+            if ncomp == 3 and [c[1] for c in comps] != [0x22, 0x11, 0x11]:
+                raise ValueError(
+                    "color JPEG supported for 4:2:0 only (Y 2x2, Cb/Cr 1x1); "
+                    f"got sampling {[hex(c[1]) for c in comps]}"
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline JPEG process unsupported")
         elif marker == 0xC4:  # DHT (possibly several tables)
@@ -464,7 +602,15 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS — entropy data follows until EOI
-            comp_dc, comp_ac = payload[2] >> 4, payload[2] & 0xF
+            ns = payload[0]
+            scan_tabs = {
+                payload[1 + 2 * i]: (
+                    payload[2 + 2 * i] >> 4,
+                    payload[2 + 2 * i] & 0xF,
+                )
+                for i in range(ns)
+            }  # component id -> (dc table, ac table)
+            comp_dc, comp_ac = scan_tabs[comps[0][0]]
             end = data.rfind(b"\xff\xd9")
             scan = data[pos : end if end > pos else len(data)]
             break
@@ -485,6 +631,12 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
     next16 = (
         (_val24[:, None] >> (8 - np.arange(8, dtype=np.uint32))[None, :]) & 0xFFFF
     ).reshape(-1)
+    nbits_total = 8 * len(body) + 16  # stream bits + the 1s padding tail
+    if ncomp == 3:
+        return _decode_jpeg_color(
+            next16, nbits_total, comps, scan_tabs, qts, dc_tabs, ac_tabs,
+            width, height,
+        )
     dc_sym, dc_len = _huff_lut(dc_tabs[comp_dc])
     ac_sym, ac_len = _huff_lut(ac_tabs[comp_ac])
     qt = qts[comp_qt]
@@ -494,7 +646,6 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
     zz = np.zeros((nby * nbx, 64), np.int32)
     p = 0
     prev_dc = 0
-    nbits_total = 8 * len(body) + 16  # stream bits + the 1s padding tail
     for bi in range(nby * nbx):
         if p + 16 > nbits_total:
             raise ValueError("JPEG entropy stream truncated")
@@ -551,6 +702,112 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
     return (img8[:height, :width] * 257.0).astype(np.uint16)
 
 
+def _decode_jpeg_color(
+    next16: np.ndarray,
+    nbits_total: int,
+    comps: list[tuple[int, int, int]],
+    scan_tabs: dict[int, tuple[int, int]],
+    qts: dict[int, np.ndarray],
+    dc_tabs: dict[int, tuple],
+    ac_tabs: dict[int, tuple],
+    width: int,
+    height: int,
+) -> np.ndarray:
+    """Interleaved 4:2:0 scan (T.81 A.2.3): each MCU carries 4 Y blocks in
+    raster order then one Cb and one Cr block, each component with its own
+    DC predictor and Huffman/quant tables. Returns channel-major (3, h, w)
+    uint16 (8-bit samples x257, like every other color decode path)."""
+    luts = {}
+    for cid, _, _ in comps:
+        dci, aci = scan_tabs[cid]
+        luts[cid] = (_huff_lut(dc_tabs[dci]), _huff_lut(ac_tabs[aci]))
+
+    def read_block(p: int, prev_dc: int, lut, out_row: np.ndarray) -> tuple[int, int]:
+        (dc_sym, dc_len), (ac_sym, ac_len) = lut
+        if p + 16 > nbits_total:
+            raise ValueError("JPEG entropy stream truncated")
+        peek = int(next16[p])
+        s = int(dc_sym[peek])
+        if s < 0:
+            raise ValueError("bad DC Huffman code")
+        p += int(dc_len[peek])
+        if s:
+            if p + s > nbits_total:
+                raise ValueError("JPEG entropy stream truncated")
+            v = int(next16[p]) >> (16 - s)
+            p += s
+            if v < (1 << (s - 1)):
+                v -= (1 << s) - 1
+            prev_dc += v
+        out_row[0] = prev_dc
+        k = 1
+        while k < 64:
+            if p + 16 > nbits_total:
+                raise ValueError("JPEG entropy stream truncated")
+            peek = int(next16[p])
+            rs = int(ac_sym[peek])
+            if rs < 0:
+                raise ValueError("bad AC Huffman code")
+            p += int(ac_len[peek])
+            if rs == 0x00:  # EOB
+                break
+            run, s = rs >> 4, rs & 0xF
+            k += run
+            if s == 0:
+                if run != 15:
+                    raise ValueError("bad AC run")
+                k += 1
+                continue
+            if p + s > nbits_total:
+                raise ValueError("JPEG entropy stream truncated")
+            v = int(next16[p]) >> (16 - s)
+            p += s
+            if v < (1 << (s - 1)):
+                v -= (1 << s) - 1
+            if k > 63:
+                raise ValueError("AC index overflow")
+            out_row[k] = v
+            k += 1
+        return p, prev_dc
+
+    nmx = -(-width // 16)
+    nmy = -(-height // 16)
+    zzY = np.zeros((2 * nmy, 2 * nmx, 64), np.int32)
+    zzCb = np.zeros((nmy, nmx, 64), np.int32)
+    zzCr = np.zeros((nmy, nmx, 64), np.int32)
+    cidY, cidCb, cidCr = comps[0][0], comps[1][0], comps[2][0]
+    p = 0
+    dcY = dcCb = dcCr = 0
+    for my in range(nmy):
+        for mx in range(nmx):
+            for by, bx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                p, dcY = read_block(p, dcY, luts[cidY], zzY[2 * my + by, 2 * mx + bx])
+            p, dcCb = read_block(p, dcCb, luts[cidCb], zzCb[my, mx])
+            p, dcCr = read_block(p, dcCr, luts[cidCr], zzCr[my, mx])
+
+    def plane(zz: np.ndarray, qt: np.ndarray) -> np.ndarray:
+        nby, nbx = zz.shape[:2]
+        blocks = np.zeros((nby, nbx, 64), np.float64)
+        blocks[:, :, _ZZ] = zz
+        coeff = blocks.reshape(nby, nbx, 8, 8) * qt
+        pix = _DCT.T @ coeff @ _DCT + 128.0
+        return pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+
+    Y = plane(zzY, qts[comps[0][2]])
+    Cb = plane(zzCb, qts[comps[1][2]])
+    Cr = plane(zzCr, qts[comps[2][2]])
+    # nearest-neighbor chroma upsample back to luma resolution
+    Cb = np.repeat(np.repeat(Cb, 2, axis=0), 2, axis=1)
+    Cr = np.repeat(np.repeat(Cr, 2, axis=0), 2, axis=1)
+    R = Y + 1.402 * (Cr - 128.0)
+    G = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    B = Y + 1.772 * (Cb - 128.0)
+    rgb8 = np.clip(
+        np.round(np.stack([R, G, B])[:, :height, :width]), 0, 255
+    )
+    return (rgb8 * 257.0).astype(np.uint16)
+
+
 # ---------------------------------------------------------------------------
 # TIFF — baseline grayscale (TIFF 6.0 §3) plus the COG subset: tile
 # organization (TIFF 6.0 §15, tags 322-325), DEFLATE compression (8 /
@@ -568,9 +825,12 @@ _TIFF_TYPE = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4)}  # BYTE, SHORT, LONG
 
 
 def _predict2(img: np.ndarray) -> np.ndarray:
-    """Horizontal differencing, modulo-2^16 (uint16 wraparound)."""
+    """Horizontal differencing, modulo-2^16 (uint16 wraparound). For chunky
+    multi-sample rows pass (rows, cols, ch): TIFF 6.0 §14 differences each
+    sample against the SAME channel of the previous pixel, which is exactly
+    the column-axis diff on that shape."""
     d = img.copy()
-    d[:, 1:] = img[:, 1:] - img[:, :-1]
+    d[:, 1:, ...] = img[:, 1:, ...] - img[:, :-1, ...]
     return d
 
 
@@ -598,14 +858,14 @@ def _tiff_container(
 
     n_segs = len(segs)
     n_entries = len(entries_fixed) + 2
-    overflow_off = ifd_off + 2 + n_entries * 12 + 4
+    overflow_base = ifd_off + 2 + n_entries * 12 + 4
     overflow = b""
     if n_segs == 1:
         off_field, cnt_field = long_val(offsets[0]), long_val(counts[0])
     else:
-        off_field = long_val(overflow_off)
+        off_field = long_val(overflow_base + len(overflow))
         overflow += struct.pack(f"<{n_segs}I", *offsets)
-        cnt_field = long_val(overflow_off + 4 * n_segs)
+        cnt_field = long_val(overflow_base + len(overflow))
         overflow += struct.pack(f"<{n_segs}I", *counts)
     ents = []
     for tag, typ, cnt, val in sorted(
@@ -616,6 +876,18 @@ def _tiff_container(
             ents.append(entry(tag, 4, n_segs, off_field))
         elif tag == cnt_tag and val is None:
             ents.append(entry(tag, 4, n_segs, cnt_field))
+        elif isinstance(val, tuple):
+            # multi-count value (e.g. BitsPerSample for spp=3): inline when
+            # it fits the 4-byte value field, else in the overflow area
+            ch, size = _TIFF_TYPE[typ]
+            packed = struct.pack(f"<{len(val)}{ch}", *val)
+            if len(packed) <= 4:
+                ents.append(entry(tag, typ, len(val), packed.ljust(4, b"\x00")))
+            else:
+                ents.append(
+                    entry(tag, typ, len(val), long_val(overflow_base + len(overflow)))
+                )
+                overflow += packed
         elif typ == 3:
             ents.append(entry(tag, 3, 1, short_val(val)))
         else:
@@ -629,27 +901,42 @@ def _tiff_container(
     )
 
 
-def encode_tiff(img: np.ndarray, rows_per_strip: int | None = None) -> bytes:
-    """Little-endian uncompressed 16-bit grayscale TIFF, strip-organized
-    (libtiff's ~8 KiB default strip size unless overridden)."""
+def _tiff_chunky(img: np.ndarray) -> tuple[np.ndarray, int, int, int]:
+    """(rows-major pixel array, h, w, spp): 2-D grayscale passes through as
+    (h, w, 1); channel-major (3, h, w) RGB becomes chunky-interleaved
+    (h, w, 3) — PlanarConfiguration=1, the TIFF default."""
     img = np.ascontiguousarray(img, dtype="<u2")
+    if img.ndim == 3:
+        if img.shape[0] != 3:
+            raise ValueError(f"RGB TIFF input must be (3, h, w), got {img.shape}")
+        return np.ascontiguousarray(np.transpose(img, (1, 2, 0))), img.shape[1], img.shape[2], 3
     h, w = img.shape
+    return img[:, :, None], h, w, 1
+
+
+def encode_tiff(img: np.ndarray, rows_per_strip: int | None = None) -> bytes:
+    """Little-endian uncompressed 16-bit TIFF, strip-organized (libtiff's
+    ~8 KiB default strip size unless overridden). 2-D input → grayscale;
+    channel-major (3, h, w) input → chunky RGB (Photometric=2, spp=3)."""
+    pix, h, w, spp = _tiff_chunky(img)
     if rows_per_strip is None:
-        rows_per_strip = max(1, 8192 // max(1, w * 2))
+        rows_per_strip = max(1, 8192 // max(1, w * 2 * spp))
     rows_per_strip = min(rows_per_strip, h)
     strips = [
-        img[r : r + rows_per_strip].tobytes()
+        np.ascontiguousarray(pix[r : r + rows_per_strip]).astype("<u2").tobytes()
         for r in range(0, h, rows_per_strip)
     ]
     entries = [
         (256, 4, 1, w),               # ImageWidth
         (257, 4, 1, h),               # ImageLength
-        (258, 3, 1, 16),              # BitsPerSample
+        (258, 3, spp, tuple([16] * spp)),  # BitsPerSample
         (259, 3, 1, 1),               # Compression = none
-        (262, 3, 1, 1),               # Photometric = BlackIsZero
-        (277, 3, 1, 1),               # SamplesPerPixel
+        (262, 3, 1, 2 if spp == 3 else 1),  # Photometric RGB / BlackIsZero
+        (277, 3, 1, spp),             # SamplesPerPixel
         (278, 4, 1, rows_per_strip),  # RowsPerStrip
     ]
+    if spp == 3:
+        entries.append((284, 3, 1, 1))  # PlanarConfiguration = chunky
     return _tiff_container(strips, entries, 273, 279)
 
 
@@ -659,9 +946,9 @@ def encode_cog(img: np.ndarray, tile_size: int = 256) -> bytes:
     Predictor=2 — the layout rioxarray/GDAL emit for real Cloud-Optimized
     GeoTIFFs (reference accessors/hls.py:131-140). Edge tiles are padded to
     the full tile size with edge replication (padding bytes are outside
-    ImageWidth/Length and ignored on read, TIFF 6.0 §15)."""
-    img = np.ascontiguousarray(img, dtype=np.uint16)
-    h, w = img.shape
+    ImageWidth/Length and ignored on read, TIFF 6.0 §15). 2-D input →
+    grayscale; channel-major (3, h, w) input → chunky RGB (spp=3)."""
+    pix, h, w, spp = _tiff_chunky(img)
     # tile dims must be multiples of 16 (§15); clamp to the image's own
     # power-of-two envelope so small images don't carry a mostly-padding tile
     ts = int(tile_size)
@@ -675,7 +962,7 @@ def encode_cog(img: np.ndarray, tile_size: int = 256) -> bytes:
     ts = max(16, (ts // 16) * 16)
     nty = -(-h // ts)
     ntx = -(-w // ts)
-    pad = np.pad(img, ((0, nty * ts - h), (0, ntx * ts - w)), mode="edge")
+    pad = np.pad(pix, ((0, nty * ts - h), (0, ntx * ts - w), (0, 0)), mode="edge")
     tiles = []
     for ty in range(nty):
         for tx in range(ntx):
@@ -685,14 +972,16 @@ def encode_cog(img: np.ndarray, tile_size: int = 256) -> bytes:
     entries = [
         (256, 4, 1, w),    # ImageWidth
         (257, 4, 1, h),    # ImageLength
-        (258, 3, 1, 16),   # BitsPerSample
+        (258, 3, spp, tuple([16] * spp)),  # BitsPerSample
         (259, 3, 1, 8),    # Compression = DEFLATE (Adobe)
-        (262, 3, 1, 1),    # Photometric = BlackIsZero
-        (277, 3, 1, 1),    # SamplesPerPixel
+        (262, 3, 1, 2 if spp == 3 else 1),  # Photometric RGB / BlackIsZero
+        (277, 3, 1, spp),  # SamplesPerPixel
         (317, 3, 1, 2),    # Predictor = horizontal differencing
         (322, 4, 1, ts),   # TileWidth
         (323, 4, 1, ts),   # TileLength
     ]
+    if spp == 3:
+        entries.append((284, 3, 1, 1))  # PlanarConfiguration = chunky
     return _tiff_container(tiles, entries, 324, 325)
 
 
@@ -748,22 +1037,29 @@ def decode_tiff(data: bytes, w: int | None = None, h: int | None = None) -> np.n
         raise ValueError(f"unsupported TIFF compression={comp} (none/DEFLATE only)")
     if pred not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor={pred}")
-    if spp != 1:
-        raise ValueError(f"multi-sample TIFF not supported (spp={spp})")
+    if spp not in (1, 3):
+        raise ValueError(f"unsupported TIFF SamplesPerPixel={spp} (1 or 3)")
+    planar = one(284, (1,))
+    if spp == 3 and planar != 1:
+        raise ValueError("planar (separate-plane) RGB TIFF not supported")
     if bits not in (8, 16):
         raise ValueError(f"unsupported BitsPerSample={bits}")
     dtype = np.dtype(e + ("u2" if bits == 16 else "u1"))
     acc = np.uint16 if bits == 16 else np.uint8
 
     def segment(off: int, cnt: int, n_rows: int, n_cols: int) -> np.ndarray:
+        """One strip/tile as (n_rows, n_cols, spp) chunky samples."""
         seg = data[off : off + cnt]
         if len(seg) < cnt:
             raise ValueError("truncated TIFF segment")
         if comp != 1:
             seg = zlib.decompress(seg)
-        arr = np.frombuffer(seg, dtype, count=n_rows * n_cols).reshape(n_rows, n_cols)
+        arr = np.frombuffer(seg, dtype, count=n_rows * n_cols * spp).reshape(
+            n_rows, n_cols, spp
+        )
         if pred == 2:
-            # undo horizontal differencing: modulo cumsum in the sample width
+            # undo horizontal differencing: per-channel modulo cumsum across
+            # the pixel axis (§14 differences same-channel neighbors)
             arr = np.cumsum(arr, axis=1, dtype=acc)
         return arr
 
@@ -779,7 +1075,7 @@ def decode_tiff(data: bytes, w: int | None = None, h: int | None = None) -> np.n
         nty = -(-height // tile_l)
         if len(offs) != ntx * nty:
             raise ValueError("TIFF tile count does not cover the image")
-        img = np.empty((height, width), acc)
+        img = np.empty((height, width, spp), acc)
         for i, (off, cnt) in enumerate(zip(offs, cnts)):
             ty, tx = divmod(i, ntx)
             t = segment(off, cnt, tile_l, tile_w)
@@ -802,9 +1098,12 @@ def decode_tiff(data: bytes, w: int | None = None, h: int | None = None) -> np.n
         if remaining != 0:
             raise ValueError("TIFF strip rows do not cover ImageLength")
         img = np.vstack(rows)
+    img = img.astype(np.uint16)
     if bits == 8:
-        return (img.astype(np.uint16)) * np.uint16(257)
-    return img.astype(np.uint16)
+        img = img * np.uint16(257)
+    if spp == 3:
+        return np.ascontiguousarray(np.transpose(img, (2, 0, 1)))  # (3, h, w)
+    return img[:, :, 0]
 
 
 # ---------------------------------------------------------------------------
