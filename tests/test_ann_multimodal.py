@@ -211,12 +211,49 @@ def test_thumbnails_block_mean(spark):
     np.testing.assert_array_equal(got, np.round(exp).astype(np.uint16))
 
 
-def test_frame_sample_shape(spark):
-    sdir = synth.generate("sf0.001")
-    cat = SceneCatalog(spark, sdir)
-    n = cat.images().limit(10).count()
-    rows = mm_op.frame_sample(cat.images().limit(10), n_frames=4).collect()
-    assert len(rows) == 4 * n
+def test_frame_sample_real_video(spark):
+    """frame_sample is a REAL video reader now: MJPEG-in-AVI clips, idx1
+    index seek, only sampled frames decoded. Sampled stats must equal a
+    direct decode of the same source frames from the deterministic clip
+    generator, for both grayscale and color clips."""
+    synth.generate("sf0.001")
+    videos = spark.read.parquet(synth.ensure_video("sf0.001"))
+    sub = videos.orderBy("video_id").limit(6)
+    rows = mm_op.frame_sample(sub, n_frames=4).collect()
+    metas = {r.video_id: r for r in sub.collect()}
+    assert set(metas) == {r.video_id for r in rows}
+    import collections
+
+    by = collections.Counter(r.video_id for r in rows)
+    for vid, cnt in by.items():
+        assert cnt == min(4, metas[vid].n_frames)
+    for r in rows:
+        i = int(r.video_id[3:])
+        frames = synth.video_clip_frames(i)
+        k = min(4, len(frames))
+        idxs = np.unique(np.linspace(0, len(frames) - 1, k).astype(int))
+        src = int(idxs[r.frame_idx])
+        assert r.src_frame == src
+        # decoded-frame stats vs the ORIGINAL frame: JPEG-lossy but close
+        lum_orig = codecs.luma(frames[src])
+        assert abs(r.frame_mean - lum_orig.mean()) < 200.0
+        assert codecs.psnr(
+            frames[src],
+            codecs.decode_avi_frame(bytes(metas[r.video_id].bytes), src),
+        ) >= 40.0
+
+
+def test_video_covers_gray_and_color_clips(spark):
+    synth.generate("sf0.001")
+    import pyarrow.parquet as pq2
+
+    t = pq2.read_table(synth.ensure_video("sf0.001")).to_pylist()
+    shapes = set()
+    for r in t[:4]:
+        meta = codecs.parse_avi(r["bytes"])
+        assert meta["n_frames"] == r["n_frames"]
+        shapes.add(codecs.decode_avi_frame(r["bytes"], 0, meta).ndim)
+    assert shapes == {2, 3}  # both grayscale and color clips in the table
 
 
 def test_lossy_rows_psnr_above_40db_vs_source():
@@ -381,18 +418,27 @@ def test_ivf_layout_probe_prunes_partitions_and_matches_ivf(spark, tmp_path):
 
 
 def test_rgb_rows_decode_channel_major_and_verify(spark):
-    """RGB multimodal rows (PNG color type 2, channel-major (3,h,w)): in
-    the corpus, losslessly decoded, stats over all samples, pHash over the
-    luminance (hamming 0), thumbnails carrying 3 channels."""
+    """RGB multimodal rows rotate over every color-capable container
+    (png/tiff/cog lossless, jpeg 4:2:0 lossy), all channel-major (3,h,w):
+    lossless rows keep luminance-pHash hamming 0, jpeg rows stay close;
+    thumbnails carry 3 channels."""
     sdir = synth.generate("sf0.001")
     cat = SceneCatalog(spark, sdir)
     rgb = cat.images().where(F.col("image_id").startswith("RGB"))
-    rows = rgb.limit(4).collect()
+    rows = rgb.orderBy("image_id").limit(4).collect()
     assert rows, "synth corpus must include RGB rows"
+    assert {r.fmt for r in rows} == {"png", "tiff", "cog", "jpeg"}
     decoded = codecs.decode(bytes(rows[0].bytes), rows[0].fmt, rows[0].w, rows[0].h)
     assert decoded.ndim == 3 and decoded.shape[0] == 3
     stats = mm_op.image_stats(rgb).collect()
-    assert stats and all(r.phash_hamming == 0 for r in stats)
+    assert stats
+    for r in stats:
+        if r.fmt in codecs.LOSSLESS:
+            assert r.phash_hamming == 0, (r.image_id, r.fmt, r.phash_hamming)
+        else:
+            # 32x32 noisy content through 4:2:0 is the worst pHash case;
+            # still far under the ~32-bit expectation for unrelated images
+            assert r.phash_hamming <= 16, (r.image_id, r.fmt, r.phash_hamming)
     by_id = {r.image_id: r for r in stats}
     img = decoded.astype(np.float64)
     np.testing.assert_allclose(by_id[rows[0].image_id].mean, img.mean())
@@ -433,3 +479,106 @@ def test_assign_l2_chunked_is_bit_identical():
         np.testing.assert_array_equal(ann_op._assign_l2(V, C, chunk=chunk), full)
     # default chunk sizing stays bounded for the trainer defaults
     assert ann_op._assign_l2(V, C) is not None
+
+
+def test_band_and_ivf_layout_append(spark, tmp_path):
+    """Incremental ANN layouts: base write + append of a held-out slice ==
+    probe results of a single full write (same deterministic hyperplanes /
+    codebook); pre-existing partition FILES are untouched by the append."""
+    import glob
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    extra = emb.where(F.col("vec_id") % 5 == 0)
+    queries = (
+        emb.where(F.col("vec_id").isin([0, 1, 2]))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+
+    full_p, inc_p = str(tmp_path / "band_full"), str(tmp_path / "band_inc")
+    ann_op.write_band_layout(emb, full_p, bands=4, bits=8)
+    ann_op.write_band_layout(base, inc_p, bands=4, bits=8)
+    pre_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(inc_p, "band=*", "key=*", "*.parquet"))
+    }
+    ann_op.append_band_layout(extra, inc_p)
+    for f, m in pre_files.items():
+        assert os.path.getmtime(f) == m, f"append rewrote {f}"
+    k = lambda df: {
+        (r.query_id, r.vec_id, r.cos_sim, r.rank) for r in df.collect()
+    }
+    assert k(ann_op.probe_band_layout(spark, inc_p, queries, k=5)) == k(
+        ann_op.probe_band_layout(spark, full_p, queries, k=5)
+    )
+
+    ivf_full, ivf_inc = str(tmp_path / "ivf_full"), str(tmp_path / "ivf_inc")
+    ann_op.write_ivf_layout(emb, ivf_full, n_clusters=8)
+    # incremental: train on the FULL corpus semantics is the generational
+    # rebuild; here base-trained codebook + appended vectors must equal a
+    # full write that used the same codebook — pin by copying the meta
+    ann_op.write_ivf_layout(base, ivf_inc, n_clusters=8)
+    import json
+
+    with open(os.path.join(ivf_inc, "_ivf_meta.json")) as f:
+        C_inc = json.load(f)["centroids"]
+    pre = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(ivf_inc, "cluster=*", "*.parquet"))
+    }
+    ann_op.append_ivf_layout(extra, ivf_inc)
+    for f, m in pre.items():
+        assert os.path.getmtime(f) == m
+    # probe the incremental layout with full nprobe == n_clusters: result
+    # must equal brute-force cosine top-k over the whole corpus
+    got = k(ann_op.probe_ivf_layout(spark, ivf_inc, queries, k=5, nprobe=8))
+    want = k(ann_op.brute_force_topk(emb, queries, k=5))
+    assert got == want
+    assert C_inc  # meta survived the append
+
+
+def test_scene_layout_append_and_compact(spark, tmp_path):
+    """Incremental spatial layout: base + appended later days == full
+    rebuild under the probe; old partition files untouched; compaction
+    into a new generation preserves the probe and reduces file count."""
+    import glob
+    import os
+
+    import __spark_entry__ as em
+
+    sdir = synth.generate("sf0.01")
+    scenes = SceneCatalog(spark, sdir).scenes()
+    t = F.coalesce(F.col("datetime"), F.col("start_datetime"))
+    base = scenes.where(F.dayofmonth(t) % 2 == 0)
+    later = scenes.where(F.dayofmonth(t) % 2 == 1)
+    assert base.count() > 0 and later.count() > 0
+
+    from xcube_stac_spark.operators import spatial as sp
+
+    full_p, inc_p = str(tmp_path / "sl_full"), str(tmp_path / "sl_inc")
+    sp.write_scene_layout(scenes, full_p)
+    sp.write_scene_layout(base, inc_p)
+    pre = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(inc_p, "pcell=*", "*.parquet"))
+    }
+    sp.append_scene_layout(later, inc_p)
+    for f, m in pre.items():
+        assert os.path.getmtime(f) == m, f"append rewrote {f}"
+    key = lambda df: {(r.item_id, r.tile_id) for r in df.collect()}
+    region, tr = em.REGION, em.TIME_RANGE
+    want = key(sp.probe_scene_layout(spark, full_p, region, time_range=tr))
+    assert key(sp.probe_scene_layout(spark, inc_p, region, time_range=tr)) == want
+    # manifest recorded the batch
+    with open(os.path.join(inc_p, "_appends.jsonl")) as f:
+        assert sum(1 for _ in f) == 1
+    # compact into a new generation: same probe, fewer files per partition
+    gen2 = str(tmp_path / "sl_gen2")
+    sp.compact_scene_layout(spark, inc_p, gen2)
+    assert key(sp.probe_scene_layout(spark, gen2, region, time_range=tr)) == want
+    n_inc = len(glob.glob(os.path.join(inc_p, "pcell=*", "*.parquet")))
+    n_gen2 = len(glob.glob(os.path.join(gen2, "pcell=*", "*.parquet")))
+    assert n_gen2 <= n_inc

@@ -23,8 +23,14 @@ def fx_dir():
     return fixtures.ensure_fixtures("sf0.001")
 
 
+#: fixture-oracled queries retired from the 50-entry driver registry (the
+#: driver caps correctness rows at 50) but still pinned here every run
+_RETIRED = {"pyramid_combined": entry_mod._q_pyramid_combined}
+
+
 def _compare(spark, fx_dir, name):
-    sdf = entry_mod.queries()[name](spark, SF_DIR).toPandas()
+    fn = entry_mod.queries().get(name) or _RETIRED[name]
+    sdf = fn(spark, SF_DIR).toPandas()
     odf = pq.read_table(os.path.join(fx_dir, f"{name}.parquet")).to_pandas()
     cols = sorted(sdf.columns)
     assert cols == sorted(odf.columns), (cols, sorted(odf.columns))

@@ -1303,6 +1303,176 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# AVI — RIFF MJPEG (the video modality's container). Same length-prefixed
+# chunk family as WAV above; frames are the engine's OWN baseline JPEG
+# streams (grayscale or 4:2:0 color), so the whole modality stays
+# pure-struct + NumPy with zero external codec libs. The idx1 index makes
+# frame access O(1): a sampler decodes ONLY the frames it needs (the
+# at-scale story — never decode a whole clip for k sampled frames).
+# Reference format-dispatch analogue: constants.py:76-98,
+# accessors/base.py:50-69 (it has no video path at all).
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(tag: bytes, payload: bytes) -> bytes:
+    """Word-aligned RIFF chunk (chunks are padded to even length)."""
+    return tag + struct.pack("<I", len(payload)) + payload + (b"\x00" * (len(payload) & 1))
+
+
+def _riff_list(kind: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + payload)
+
+
+def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
+    """MJPEG-in-AVI: one '00dc' chunk per frame, each a standalone baseline
+    JPEG (encode_jpeg — 2-D grayscale or (3, h, w) color), with avih/strh
+    headers and a standard idx1 index (AVIF_HASINDEX). All frames must
+    share one geometry, like any real fixed-resolution clip."""
+    frames = [np.asarray(f) for f in frames]
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    shapes = {f.shape for f in frames}
+    if len(shapes) != 1:
+        raise ValueError(f"all frames must share one shape, got {shapes}")
+    shape = frames[0].shape
+    h, w = (shape[1], shape[2]) if len(shape) == 3 else shape
+    payloads = [encode_jpeg(f) for f in frames]
+    movi_body = b""
+    index = []  # (offset-from-movi-kind, size) per frame
+    for pl in payloads:
+        # idx1 offsets are measured from the position of the 'movi' fourcc
+        index.append((4 + len(movi_body), len(pl)))
+        movi_body += _riff_chunk(b"00dc", pl)
+    max_size = max(len(p) for p in payloads)
+    usec_per_frame = int(round(1_000_000 / fps))
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec_per_frame, max_size * fps, 0, 0x10,  # dwFlags = AVIF_HASINDEX
+        len(frames), 0, 1, max_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack(
+            "<IHHIIIIIIiI4H",
+            0, 0, 0, 0,
+            1, fps,  # dwScale, dwRate -> fps = rate/scale
+            0, len(frames), max_size, -1, 0,  # quality=-1 (default), sampleSize=0
+            0, 0, w, h,
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(b"movi", movi_body)
+    idx1 = _riff_chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, size)  # AVIIF_KEYFRAME
+            for off, size in index
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi(data: bytes) -> dict:
+    """Container-level parse (no pixel decode): walks the RIFF chunk list,
+    reads avih/strh for (fps, n_frames, w, h) and idx1 for per-frame
+    ABSOLUTE payload offsets — the O(1) random-access map a frame sampler
+    seeks with. Falls back to scanning the movi list when idx1 is absent."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    pos = 12
+    fps = None
+    n_frames = w = h = None
+    movi_kind_pos = None
+    idx_entries = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body_start = pos + 8
+        if tag == b"LIST":
+            kind = data[body_start : body_start + 4]
+            if kind == b"hdrl":
+                # descend: avih then nested strl/strh
+                p2 = body_start + 4
+                end2 = body_start + size
+                while p2 + 8 <= end2:
+                    t2 = data[p2 : p2 + 4]
+                    (s2,) = struct.unpack("<I", data[p2 + 4 : p2 + 8])
+                    if t2 == b"avih":
+                        vals = struct.unpack("<10I", data[p2 + 8 : p2 + 48])
+                        n_frames, w, h = vals[4], vals[8], vals[9]
+                    elif t2 == b"LIST" and data[p2 + 8 : p2 + 12] == b"strl":
+                        p3 = p2 + 12
+                        t3 = data[p3 : p3 + 4]
+                        (s3,) = struct.unpack("<I", data[p3 + 4 : p3 + 8])
+                        if t3 == b"strh":
+                            st = data[p3 + 8 : p3 + 8 + s3]
+                            if st[:4] != b"vids" or st[4:8] != b"MJPG":
+                                raise ValueError(
+                                    "unsupported AVI stream (vids/MJPG only)"
+                                )
+                            scale, rate = struct.unpack("<II", st[20:28])
+                            fps = rate / max(1, scale)
+                    p2 += 8 + s2 + (s2 & 1)
+            elif kind == b"movi":
+                movi_kind_pos = body_start
+        elif tag == b"idx1":
+            idx_entries = []
+            p2 = body_start
+            end2 = body_start + size
+            while p2 + 16 <= end2:
+                ckid = data[p2 : p2 + 4]
+                _, off, csz = struct.unpack("<III", data[p2 + 4 : p2 + 16])
+                if ckid == b"00dc":
+                    idx_entries.append((off, csz))
+                p2 += 16
+        pos = body_start + size + (size & 1)
+    if movi_kind_pos is None or n_frames is None:
+        raise ValueError("AVI missing movi list or avih header")
+    if idx_entries is not None:
+        # idx1 offsets point at the 00dc chunk HEADER relative to the
+        # 'movi' fourcc; payload starts 8 bytes past the header
+        entries = [(movi_kind_pos + off + 8, csz) for off, csz in idx_entries]
+    else:
+        entries = []
+        p2 = movi_kind_pos + 4
+        while p2 + 8 <= len(data):
+            t2 = data[p2 : p2 + 4]
+            (s2,) = struct.unpack("<I", data[p2 + 4 : p2 + 8])
+            if t2 == b"00dc":
+                entries.append((p2 + 8, s2))
+            p2 += 8 + s2 + (s2 & 1)
+    if len(entries) != n_frames:
+        raise ValueError(
+            f"AVI index covers {len(entries)} frames, header says {n_frames}"
+        )
+    return {"fps": fps, "n_frames": n_frames, "w": w, "h": h, "entries": entries}
+
+
+def decode_avi_frame(data: bytes, idx: int, meta: dict | None = None) -> np.ndarray:
+    """Decode ONE frame by index via the idx1 map — O(frame), not O(clip)."""
+    meta = meta or parse_avi(data)
+    off, size = meta["entries"][idx]
+    return decode_jpeg(data[off : off + size])
+
+
+def decode_avi_mjpeg(data: bytes) -> tuple[float, list[np.ndarray]]:
+    """(fps, all frames decoded) — the full-clip reader."""
+    meta = parse_avi(data)
+    return meta["fps"], [
+        decode_jpeg(data[off : off + size]) for off, size in meta["entries"]
+    ]
+
+
+# ---------------------------------------------------------------------------
 # dispatch (mirrors MAP_FILE_EXTENSION_FORMAT constants.py:76-83 in spirit)
 # ---------------------------------------------------------------------------
 

@@ -52,7 +52,7 @@ PYR_LEVELS = 2
 IVF_QUERY_IDS = (0, 1, 2)
 IVF_TOPK_K = 10
 
-FIXTURE_VERSION = 9  # v8: audio_features; v9: int32-abs audio peak
+FIXTURE_VERSION = 10  # v9: int32-abs audio peak; v10: real video_frames
 
 THUMB_W = THUMB_H = 16
 N_FRAMES = 4
@@ -63,7 +63,7 @@ FIXTURE_QUERIES = (
     "angles_cube",
     "image_stats",
     "thumbnails",
-    "frame_sample",
+    "video_frames",
     "uv_clip",
     "orthorectify",
     "rectify_swath",
@@ -168,20 +168,23 @@ _THUMB_SCHEMA = pa.schema(
 
 _FRAME_SCHEMA = pa.schema(
     [
-        ("image_id", pa.string()),
+        ("video_id", pa.string()),
         ("frame_idx", pa.int32()),
-        ("frame_row_mean", pa.float64()),
+        ("src_frame", pa.int32()),
+        ("t_sec", pa.float64()),
+        ("frame_mean", pa.float64()),
+        ("frame_std", pa.float64()),
     ]
 )
 
 
 def _fx_image_stats(sdir: str, out_dir: str) -> None:
     """Single-process decode of every image: stats + pHash verify, plus the
-    thumbnail-digest and frame-sample fixtures (same decode pass)."""
+    thumbnail-digest fixture (same decode pass)."""
     import hashlib
 
     images = pq.read_table(os.path.join(sdir, "images.parquet")).to_pandas()
-    rows, trows, frows = [], [], []
+    rows, trows = [], []
     for r in images.itertuples(index=False):
         img = codecs.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h)).astype(np.float64)
         ph = codecs.phash64_any(img)
@@ -212,19 +215,62 @@ def _fx_image_stats(sdir: str, out_dir: str) -> None:
                 "thumb_md5": hashlib.md5(thumb).hexdigest(),
             }
         )
-        lum = codecs.luma(img)
-        idxs = np.linspace(0, lum.shape[0] - 1, N_FRAMES).astype(int)
-        for k, i in enumerate(idxs):
-            frows.append(
-                {
-                    "image_id": r.image_id,
-                    "frame_idx": k,
-                    "frame_row_mean": round_half_up(float(lum[i].mean()), 6),
-                }
-            )
     _write(out_dir, "image_stats", rows, _STATS_SCHEMA)
     _write(out_dir, "thumbnails", trows, _THUMB_SCHEMA)
-    _write(out_dir, "frame_sample", frows, _FRAME_SCHEMA)
+
+
+def _fx_video_frames(sf: str, sdir: str, out_dir: str) -> None:
+    """Independent mirror of multimodal.frame_sample over the video table:
+    the AVI container is parsed with a SEPARATE sequential RIFF walker
+    (plain movi-list scan — NOT codecs.parse_avi, whose frame offsets come
+    from the idx1 index), so the engine's index-seek access path is
+    cross-checked against chunk order. Frame pixels decode through the
+    baseline-JPEG codec, which is independently oracled by the image
+    fixtures (stored-pHash checks) and PSNR tests."""
+    import struct as _s
+
+    from xcube_stac_spark import synth as synth_mod
+
+    vpath = synth_mod.ensure_video(sf, out_root=os.path.dirname(sdir))
+    rows = []
+    for r in pq.read_table(vpath).to_pylist():
+        data = r["bytes"]
+        assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+        # sequential scan: every '00dc' chunk in stream order
+        payloads = []
+        fps = None
+
+        def walk(pos, end):
+            nonlocal fps
+            while pos + 8 <= end:
+                tag = data[pos : pos + 4]
+                (size,) = _s.unpack("<I", data[pos + 4 : pos + 8])
+                if tag == b"LIST":
+                    walk(pos + 12, pos + 8 + size)
+                elif tag == b"00dc":
+                    payloads.append(data[pos + 8 : pos + 8 + size])
+                elif tag == b"strh" and data[pos + 8 : pos + 12] == b"vids":
+                    scale, rate = _s.unpack("<II", data[pos + 28 : pos + 36])
+                    fps = rate / max(1, scale)
+                pos += 8 + size + (size & 1)
+
+        walk(12, len(data))
+        assert len(payloads) == r["n_frames"] and fps is not None
+        k = min(N_FRAMES, len(payloads))
+        idxs = np.unique(np.linspace(0, len(payloads) - 1, k).astype(int))
+        for j, src in enumerate(idxs):
+            lum = codecs.luma(codecs.decode_jpeg(payloads[int(src)]))
+            rows.append(
+                {
+                    "video_id": r["video_id"],
+                    "frame_idx": int(j),
+                    "src_frame": int(src),
+                    "t_sec": round_half_up(float(src) / fps, 6),
+                    "frame_mean": round_half_up(float(lum.mean()), 6),
+                    "frame_std": round_half_up(float(lum.std()), 6),
+                }
+            )
+    _write(out_dir, "video_frames", rows, _FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -658,6 +704,7 @@ def ensure_fixtures(sf: str, force: bool = False) -> str:
     _fx_pyramid_combined(sdir, out_dir, grid)
     _fx_ann_ivf(sf, out_dir)
     _fx_audio_features(sf, sdir, out_dir)
+    _fx_video_frames(sf, sdir, out_dir)
     with open(marker, "w") as f:
         f.write(stamp)
     return out_dir

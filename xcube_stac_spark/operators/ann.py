@@ -392,6 +392,31 @@ def write_ivf_layout(
         json.dump({"n_clusters": n_clusters, "centroids": C.tolist()}, f)
 
 
+def append_ivf_layout(embeddings_new: DataFrame, path: str) -> None:
+    """Incremental IVF maintenance: new vectors are assigned with the
+    EXISTING codebook (read from the layout meta — no retrain, no full
+    corpus pass) and appended into their cluster partition directories;
+    existing files are untouched, so daily vector ingest costs O(new).
+    Codebook drift under distribution shift is handled by periodically
+    rebuilding a fresh generation with write_ivf_layout — the classic
+    IVF serve/retrain split."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    (
+        embeddings_new.withColumn("cluster", _ivf_assign_udf(C)(F.col("embedding")))
+        .repartition("cluster")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_appends.jsonl"), "a") as f:
+        f.write(json.dumps({"rows": embeddings_new.count()}) + "\n")
+
+
 def probe_ivf_layout(
     spark, path: str, queries: DataFrame, k: int = 10, nprobe: int = IVF_NPROBE
 ) -> DataFrame:
@@ -503,6 +528,31 @@ def write_band_layout(
     )
     with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
         json.dump({"bands": bands, "bits": bits, "dim": dim}, f)
+
+
+def append_band_layout(embeddings_new: DataFrame, path: str) -> None:
+    """Incremental LSH-layout maintenance: band keys for the new vectors
+    come from the SAME deterministic hyperplane family (seeded by
+    (bands, bits, dim) in the layout meta), so appended rows land in
+    exactly the (band, key) directories a fresh full build would put them
+    in — existing files untouched, probes unchanged."""
+    import json
+    import os
+
+    meta = read_band_layout_meta(path)
+    bk = hyperplane_bands(
+        embeddings_new, "vec_id", "embedding",
+        meta["bands"], meta["bits"], meta["dim"],
+    )
+    (
+        bk.join(embeddings_new.select("vec_id", "embedding"), "vec_id")
+        .repartition("band", "key")
+        .write.mode("append")
+        .partitionBy("band", "key")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_appends.jsonl"), "a") as f:
+        f.write(json.dumps({"rows": embeddings_new.count()}) + "\n")
 
 
 def read_band_layout_meta(path: str) -> dict:

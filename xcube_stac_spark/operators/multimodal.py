@@ -3,10 +3,12 @@
 Images/audio/video are opaque ``binary`` columns with typed metadata
 (the mandated images-table shape). Real Spark plumbing — schemas,
 partitioning, Arrow batch shapes — with the engine's own codecs doing real
-decode for ``raw``/``png``/``lossy``/``jpeg`` (baseline JFIF, pure NumPy);
-formats needing codec libraries absent from this runtime (webp, video,
-audio) are STUBBED behind a clearly-marked NotImplementedError (the
-dispatch seam is where PIL/ffmpeg decoders would plug in).
+decode for images (``raw``/``png``/``lossy``/``jpeg``/``tiff``/``cog``,
+grayscale AND color), audio (RIFF/PCM16 WAV) and video (MJPEG-in-AVI with
+idx1-seek frame sampling); formats needing codec libraries absent from
+this runtime (webp, mp3, mp4, mkv) are STUBBED behind a clearly-marked
+NotImplementedError (the dispatch seam is where PIL/ffmpeg decoders would
+plug in).
 
 All pixel work is ``mapInPandas`` over Arrow batches — zero per-row Python
 object churn; batches stream so a 2048² tile batch never materializes the
@@ -39,6 +41,11 @@ def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         raise ValueError(
             "fmt='wav' is audio, not an image — audio rows live in the "
             "audio table and decode through multimodal.audio_features"
+        )
+    if fmt == "avi":
+        raise ValueError(
+            "fmt='avi' is video, not an image — video rows live in the "
+            "video table and decode through multimodal.frame_sample"
         )
     if fmt in STUBBED:
         raise NotImplementedError(
@@ -138,9 +145,12 @@ def thumbnails(images: DataFrame, tw: int = 16, th: int = 16) -> DataFrame:
 
 FRAME_SCHEMA = T.StructType(
     [
-        T.StructField("image_id", T.StringType()),
+        T.StructField("video_id", T.StringType()),
         T.StructField("frame_idx", T.IntegerType()),
-        T.StructField("frame_row_mean", T.DoubleType()),
+        T.StructField("src_frame", T.IntegerType()),
+        T.StructField("t_sec", T.DoubleType()),
+        T.StructField("frame_mean", T.DoubleType()),
+        T.StructField("frame_std", T.DoubleType()),
     ]
 )
 
@@ -188,24 +198,41 @@ def audio_features(audio: DataFrame) -> DataFrame:
     return audio.select("audio_id", "bytes").mapInPandas(run, AUDIO_SCHEMA)
 
 
-def frame_sample(images: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Frame-sampling plumbing demo: treats the image's rows as a "video"
-    time axis and samples n_frames evenly — the exact shape a real
-    video-frame sampler would have (binary in → exploded per-frame rows
-    out). Real frame decode for mp4 etc. hits the STUBBED dispatch."""
+def frame_sample(videos: DataFrame, n_frames: int = 4) -> DataFrame:
+    """REAL video-frame sampling over the opaque MJPEG-in-AVI binary
+    column (codecs.encode_avi_mjpeg / parse_avi): per clip, ``n_frames``
+    evenly-spaced source frames are picked from the idx1 index and ONLY
+    those JPEG payloads are decoded — O(k) per clip regardless of clip
+    length, the at-scale contract of a 10^12-row corpus sampler. Output is
+    the exploded per-frame row shape: (video_id, frame_idx 0..k-1,
+    src_frame, t_sec = src/fps, luma mean/std). Arrow-batched mapInPandas;
+    container metadata (n_frames, fps) is verified against the stream.
+    Formats needing external codecs (mp4/mkv) still raise at the dispatch
+    seam (`STUBBED`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k.name: [] for k in FRAME_SCHEMA.fields}
             for r in pdf.itertuples(index=False):
-                img = codecs.luma(
-                    _decode_any(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                data = bytes(r.bytes)
+                meta = codecs.parse_avi(data)
+                if int(meta["n_frames"]) != int(r.n_frames):
+                    raise ValueError(
+                        f"{r.video_id}: container says {meta['n_frames']} "
+                        f"frames, metadata column says {r.n_frames}"
+                    )
+                k = min(n_frames, meta["n_frames"])
+                idxs = np.unique(
+                    np.linspace(0, meta["n_frames"] - 1, k).astype(int)
                 )
-                idxs = np.linspace(0, img.shape[0] - 1, n_frames).astype(int)
-                for k, i in enumerate(idxs):
-                    out["image_id"].append(r.image_id)
-                    out["frame_idx"].append(int(k))
-                    out["frame_row_mean"].append(float(img[i].mean()))
+                for j, src in enumerate(idxs):
+                    lum = codecs.luma(codecs.decode_avi_frame(data, int(src), meta))
+                    out["video_id"].append(r.video_id)
+                    out["frame_idx"].append(int(j))
+                    out["src_frame"].append(int(src))
+                    out["t_sec"].append(float(src) / float(meta["fps"]))
+                    out["frame_mean"].append(float(lum.mean()))
+                    out["frame_std"].append(float(lum.std()))
             yield pd.DataFrame(out)
 
-    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, FRAME_SCHEMA)
+    return videos.select("video_id", "bytes", "n_frames").mapInPandas(run, FRAME_SCHEMA)

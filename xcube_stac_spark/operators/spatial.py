@@ -179,6 +179,67 @@ def write_scene_layout(
         json.dump({"level": level}, f)
 
 
+def append_scene_layout(scenes_new: DataFrame, path: str) -> None:
+    """INCREMENTAL maintenance of the at-rest spatial layout: new scene
+    rows (e.g. a newly ingested day) are exploded to their covering cells
+    and APPENDED into the existing pcell partition directories — existing
+    files are never rewritten or touched, so at 100 TB a daily ingest costs
+    O(new scenes), not O(catalog). Each append records a line in the
+    layout's ``_appends.jsonl`` manifest (batch row count + cell count —
+    the commit-log idea from lineage.py applied to layouts). Probes are
+    unchanged: a partition dir simply accumulates one file set per batch
+    until ``compact_scene_layout`` folds a generation together."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_layout_meta.json")) as f:
+        level = json.load(f)["level"]
+    covered = scenes_new.withColumn(
+        "pcell",
+        F.explode(
+            X.bbox_cells_expr(
+                F.col("bbox_xmin"), F.col("bbox_ymin"),
+                F.col("bbox_xmax"), F.col("bbox_ymax"), level,
+            )
+        ),
+    )
+    covered = covered.repartition("pcell").persist()
+    try:
+        n_rows = covered.count()
+        n_cells = covered.select("pcell").distinct().count()
+        covered.write.mode("append").partitionBy("pcell").parquet(path)
+    finally:
+        covered.unpersist()
+    with open(os.path.join(path, "_appends.jsonl"), "a") as f:
+        f.write(json.dumps({"rows": int(n_rows), "cells": int(n_cells)}) + "\n")
+
+
+def compact_scene_layout(spark, src: str, dst: str) -> None:
+    """Fold an append-accumulated layout into a fresh GENERATION at ``dst``
+    (one file set per partition again): one read + one pcell-keyed shuffle
+    + one write, no driver-side per-partition work. Serving switches
+    atomically by path — the generational pattern object stores need,
+    since in-place per-directory rewrites are not atomic there."""
+    import json
+    import os
+    import shutil
+
+    with open(os.path.join(src, "_layout_meta.json")) as f:
+        meta = json.load(f)
+    (
+        spark.read.parquet(src)
+        .repartition("pcell")
+        .write.mode("overwrite")
+        .partitionBy("pcell")
+        .parquet(dst)
+    )
+    with open(os.path.join(dst, "_layout_meta.json"), "w") as f:
+        json.dump(meta, f)
+    leftover = os.path.join(src, "_appends.jsonl")
+    if os.path.exists(leftover):
+        shutil.copy(leftover, os.path.join(dst, "_appends_compacted.jsonl"))
+
+
 def probe_scene_layout(
     spark,
     path: str,

@@ -82,7 +82,8 @@ _FMTS = ("raw", "png", "lossy")
 
 #: bump to force regeneration of already-materialized synth dirs when the
 #: generated content changes (checked against the _SUCCESS marker)
-SYNTH_VERSION = 7  # v6: tiled+DEFLATE COG payloads; v7: RGB multimodal rows
+SYNTH_VERSION = 8  # v7: RGB multimodal rows; v8: RGB rows rotate containers
+#                    (png/tiff/cog/jpeg) so color flows through every codec
 
 ANGLE_GRID_N = 23  # native angle-grid size (reference sen2.py:1031-1032)
 ANGLE_SCALE = 0.01
@@ -428,13 +429,18 @@ def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
         images[idx]["bytes"] = payload
         images[idx]["phash"] = ph
 
-    # RGB multimodal rows (channel-major (3,h,w), PNG color type 2): the
-    # image+caption TRAINING-corpus shape next to the single-band rasters.
-    # Standalone rows — no asset linkage, so the cube band path never sees
-    # them; image_stats/thumbnails/frame_sample/pHash exercise the
-    # 3-channel decode. phash is computed over the luminance (channel mean).
+    # RGB multimodal rows (channel-major (3,h,w)): the image+caption
+    # TRAINING-corpus shape next to the single-band rasters. Standalone
+    # rows — no asset linkage, so the cube band path never sees them;
+    # image_stats/thumbnails/pHash exercise the 3-channel decode. The
+    # container rotates over every color-capable codec (PNG color type 2,
+    # chunky-spp3 TIFF and tiled+DEFLATE COG, 4:2:0 baseline JPEG), so the
+    # whole color surface is in the corpus. phash is computed over the
+    # luminance (channel mean) of the ORIGINAL plane (lossy jpeg rows then
+    # show a small, nonzero hamming — same convention as the spectral mix).
     rh, rw = max(32, p.h // 2), max(32, p.w // 2)
     yy, xx = np.mgrid[0:rh, 0:rw]
+    _rgb_fmts = ("png", "tiff", "cog", "jpeg")
     for i in range(4 * p.days):
         rng = np.random.default_rng(900_000 + i)
         chans = []
@@ -446,13 +452,14 @@ def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
             )
             chans.append(np.clip(plane, 0.0, 65535.0))
         rgb = np.stack(chans).astype(np.uint16)
+        fmt = _rgb_fmts[i % 4]
         images.append(
             dict(
                 image_id=f"RGB{i:04d}",
-                bytes=codecs.encode(rgb, "png"),
+                bytes=codecs.encode(rgb, fmt),
                 w=np.int32(rw),
                 h=np.int32(rh),
-                fmt="png",
+                fmt=fmt,
                 caption=f"photo {i} of a synthetic landscape",
                 phash=np.int64(codecs.phash64_any(rgb)),
             )
@@ -583,6 +590,86 @@ def ensure_audio(sf: str, out_root: str | None = None) -> str:
     pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
     with open(marker, "w") as f:
         f.write(f"audio_version={AUDIO_VERSION} clips={len(rows)}\n")
+    return path
+
+
+#: like AUDIO_VERSION: the video table is generated lazily beside an
+#: existing synth dir with its own marker, so it never invalidates the
+#: scene/image payloads or the scaling-history data_version
+VIDEO_VERSION = 1
+VIDEO_W, VIDEO_H = 64, 48
+
+
+def video_clip_frames(i: int) -> np.ndarray:
+    """Deterministic frames of synthetic clip ``i``: a drifting sinusoid
+    field (motion = per-frame phase shift). Even clips are grayscale
+    (n, h, w); odd clips are color (n, 3, h, w) — both shapes the MJPEG
+    encoder accepts. Shared by synth, tests and the fixture oracle."""
+    h, w = VIDEO_H, VIDEO_W
+    n = 6 + (i * 7) % 11
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        base = 20000.0 + 9000.0 * np.sin(
+            xx / (6.0 + i % 5) + 0.6 * t
+        ) * np.cos(yy / (7.0 + i % 3) - 0.3 * t)
+        if i % 2 == 0:
+            frames.append(np.clip(base, 0, 65535).astype(np.uint16))
+        else:
+            frames.append(
+                np.stack(
+                    [
+                        np.clip(base + 2500.0 * c + 900.0 * np.sin(t + c), 0, 65535)
+                        for c in range(3)
+                    ]
+                ).astype(np.uint16)
+            )
+    return np.stack(frames)
+
+
+def ensure_video(sf: str, out_root: str | None = None) -> str:
+    """Deterministic video table (the video modality of the multimodal
+    brief): MJPEG-in-AVI clips as opaque binary + typed metadata
+    (video_id, bytes, fps, n_frames, w, h, caption). Grayscale and 4:2:0
+    color clips alternate so both JPEG paths flow through the container."""
+    p = PARAMS[sf]
+    out_dir = os.path.join(out_root or SYNTH_ROOT, sf)
+    marker = os.path.join(out_dir, "_VIDEO_SUCCESS")
+    path = os.path.join(out_dir, "video.parquet")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f"video_version={VIDEO_VERSION} " in f.read():
+                return path
+    os.makedirs(out_dir, exist_ok=True)
+    rows = []
+    for i in range(4 * p.days):
+        frames = video_clip_frames(i)
+        fps = 4 + i % 5
+        rows.append(
+            dict(
+                video_id=f"VID{i:04d}",
+                bytes=codecs.encode_avi_mjpeg(list(frames), fps=fps),
+                fps=np.int32(fps),
+                n_frames=np.int32(len(frames)),
+                w=np.int32(VIDEO_W),
+                h=np.int32(VIDEO_H),
+                caption=f"clip {i}: drifting interference pattern",
+            )
+        )
+    schema = pa.schema(
+        [
+            ("video_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("fps", pa.int32()),
+            ("n_frames", pa.int32()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("caption", pa.string()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+    with open(marker, "w") as f:
+        f.write(f"video_version={VIDEO_VERSION} clips={len(rows)}\n")
     return path
 
 
