@@ -288,3 +288,16 @@ def test_salted_cell_join_rejects_outer(spark):
         sp.salted_cell_join(big, small, how="full")
     with _pytest.raises(ValueError, match="salted_cell_join supports"):
         sp.salted_cell_join(big, small, how="right")
+
+
+def test_salted_query_path_equals_broadcast_path(spark):
+    """The retired-from-driver salted query (registry capped at 50) stays
+    pinned here: the salted equi-join produces exactly the broadcast
+    path's rows."""
+    import __spark_entry__ as em
+    from xcube_stac_spark import synth
+
+    sdir = synth.generate("sf0.01")
+    a = {tuple(r) for r in em._q_salted_spatial_join(spark, sdir).collect()}
+    b = {tuple(r) for r in em._q_spatial_join_region(spark, sdir).collect()}
+    assert a == b and a
