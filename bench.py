@@ -662,10 +662,40 @@ regenerates this file); `python bench.py --report` rebuilds it from history;
     print(json.dumps({"scaling": summary, "kernels": kern, **roof}))
 
 
+def run_pinned() -> None:
+    """taskset-pinned local[8] for ALL THREE scaling shapes — the faithful
+    N-executor proxy (an unpinned local[8] JVM on a 32-core box spills its
+    GC/netty/Python-worker threads onto idle cores, overstating the N
+    level ~18% on DRAM-heavy shapes; see BENCH/WINDOWS.md Window F).
+    Appends to BENCH/pinned_history.jsonl; pair each row with the best
+    unpinned local[32] at the same (shape, data_version) for the pinned
+    efficiency number."""
+    hist = os.path.join("BENCH", "pinned_history.jsonl")
+    for label, rf, sdir, tile in SCALING_SHAPES:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS="8",
+            SPARK_GRAFT_SF_DIR=sdir or SF_DIR,
+            SPARK_GRAFT_RES_FACTOR=str(rf),
+            SPARK_GRAFT_TILE=str(tile),
+            SPARK_GRAFT_BENCH_QUERIES="0",
+        )
+        out = subprocess.run(
+            ["taskset", "-c", "0-7", sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        with open(hist, "a") as f:
+            f.write(json.dumps({"cpus": 8, "pinned": "0-7", **r}) + "\n")
+        print(f"pinned-8 {label}: {r['tiles_per_sec']} tiles/s", file=sys.stderr)
+
+
 if __name__ == "__main__":
     if "--report" in sys.argv:
         run_scaling(measure=False)
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--pinned" in sys.argv:
+        run_pinned()
     else:
         print(json.dumps(run_bench()))
