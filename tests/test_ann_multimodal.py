@@ -294,12 +294,31 @@ def test_lossy_rows_psnr_above_40db_vs_source():
 
 def test_stubbed_formats_raise(spark):
     df = spark.createDataFrame(
-        [("x", b"notwebp", 4, 4, "webp", 0)],
+        [("x", b"notanmp4", 4, 4, "mp4", 0)],
         "image_id string, bytes binary, w int, h int, fmt string, phash long",
     )
     with pytest.raises(Exception) as ei:
         mm_op.image_stats(df).collect()
     assert "NotImplementedError" in str(ei.value) or "external codec" in str(ei.value)
+
+
+def test_webp_is_supported_not_stubbed(spark):
+    """WebP decode is real now (pure-struct VP8L lossless subset): webp
+    rows flow through image_stats' full Arrow path, stats and pHash match
+    the source plane exactly for 8-bit-valued content."""
+    assert "webp" in mm_op.SUPPORTED and "webp" not in mm_op.STUBBED
+    yy, xx = np.mgrid[0:32, 0:40]
+    v8 = ((yy * 5 + xx * 3) % 256).astype(np.uint16)
+    img = np.stack([v8, (v8 + 17) % 256, (v8 + 91) % 256]).astype(np.uint16) * 257
+    data = codecs.encode_webp(img)
+    ph = codecs.phash64_any(img)
+    df = spark.createDataFrame(
+        [("w0", bytearray(data), 40, 32, "webp", int(ph))],
+        "image_id string, bytes binary, w int, h int, fmt string, phash long",
+    )
+    rows = mm_op.image_stats(df).collect()
+    assert len(rows) == 1 and rows[0].phash_hamming == 0
+    assert abs(rows[0].mean - img.mean()) < 1e-9
 
 
 def test_jpeg_is_supported_not_stubbed(spark):

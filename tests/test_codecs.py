@@ -506,3 +506,57 @@ def test_phash_any_stable_across_color_containers():
     dec_j = codecs.decode_jpeg(codecs.encode_jpeg(img))
     ham = bin(codecs.phash64_any(dec_j) ^ ph_ref).count("1")
     assert ham <= 6
+
+
+def test_webp_vp8l_roundtrip_exact_for_8bit_content():
+    """Pure-struct VP8L lossless subset: canonical prefix codes with
+    code-length coding, LSB-first bit order, RIFF/WEBP container. Exact
+    roundtrip for 8-bit-valued uint16 (x257) content, gray and color."""
+    rng = np.random.default_rng(53)
+    for shape in [(32, 32), (1, 1), (33, 47)]:
+        v8 = rng.integers(0, 256, size=shape, dtype=np.uint16)
+        img = v8 * np.uint16(257)
+        out = codecs.decode_webp(codecs.encode_webp(img))
+        assert out.shape == (3,) + shape
+        for c in range(3):
+            np.testing.assert_array_equal(out[c], img)
+    v8 = rng.integers(0, 256, size=(3, 40, 56), dtype=np.uint16)
+    img = v8 * np.uint16(257)
+    np.testing.assert_array_equal(codecs.decode_webp(codecs.encode_webp(img)), img)
+    # dispatch round-trips too
+    np.testing.assert_array_equal(
+        codecs.decode(codecs.encode(img, "webp"), "webp", 56, 40), img
+    )
+
+
+def test_webp_container_structure_and_subset_guards():
+    import struct as _s
+
+    img = (np.arange(32 * 32, dtype=np.uint16).reshape(32, 32) % 256) * 257
+    data = codecs.encode_webp(img)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WEBP" and data[12:16] == b"VP8L"
+    (riff_size,) = _s.unpack("<I", data[4:8])
+    assert riff_size == len(data) - 8
+    # VP8L payload starts with the 0x2f signature and 14-bit dims
+    payload = data[20:]
+    assert payload[0] == 0x2F
+    with np.testing.assert_raises(ValueError):
+        codecs.decode_webp(b"RIFF\x04\x00\x00\x00WEBP")
+    with np.testing.assert_raises(ValueError):
+        codecs.decode_webp(b"nope")
+
+
+def test_webp_low_cardinality_uses_simple_codes_and_compresses():
+    """1-2-symbol planes take the spec's simple-code form: a constant
+    image is a few dozen bytes, not O(pixels)."""
+    img = np.full((64, 64), 100 * 257, np.uint16)
+    data = codecs.encode_webp(img)
+    assert len(data) < 120, len(data)
+    out = codecs.decode_webp(data)
+    assert (out == 100 * 257).all()
+    # two-valued plane
+    img2 = np.where(np.arange(64 * 64).reshape(64, 64) % 3 == 0, 7, 200).astype(
+        np.uint16
+    ) * 257
+    out2 = codecs.decode_webp(codecs.encode_webp(img2))
+    np.testing.assert_array_equal(out2[0], img2)

@@ -3,12 +3,12 @@
 Images/audio/video are opaque ``binary`` columns with typed metadata
 (the mandated images-table shape). Real Spark plumbing — schemas,
 partitioning, Arrow batch shapes — with the engine's own codecs doing real
-decode for images (``raw``/``png``/``lossy``/``jpeg``/``tiff``/``cog``,
-grayscale AND color), audio (RIFF/PCM16 WAV) and video (MJPEG-in-AVI with
-idx1-seek frame sampling); formats needing codec libraries absent from
-this runtime (webp, mp3, mp4, mkv) are STUBBED behind a clearly-marked
-NotImplementedError (the dispatch seam is where PIL/ffmpeg decoders would
-plug in).
+decode for images (``raw``/``png``/``lossy``/``jpeg``/``tiff``/``cog``/
+``webp`` VP8L, grayscale AND color), audio (RIFF/PCM16 WAV) and video
+(MJPEG-in-AVI with idx1-seek frame sampling); formats needing codec
+libraries absent from this runtime (mp3, mp4, mkv) are STUBBED behind a
+clearly-marked NotImplementedError (the dispatch seam is where PIL/ffmpeg
+decoders would plug in).
 
 All pixel work is ``mapInPandas`` over Arrow batches — zero per-row Python
 object churn; batches stream so a 2048² tile batch never materializes the
@@ -31,7 +31,7 @@ from xcube_stac_spark import codecs
 #: wav is REAL now but routed through audio_features (its own table), not
 #: the image dispatch
 SUPPORTED = set(codecs.DECODERS)
-STUBBED = {"webp", "mp3", "mp4", "mkv"}
+STUBBED = {"mp3", "mp4", "mkv"}
 
 
 def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
