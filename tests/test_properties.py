@@ -122,3 +122,72 @@ def test_round_half_up_properties(mantissa, exp, digits, sign):
     assert round_half_up(r, digits) == r
     assert round_half_up(-x, digits) == -r
     assert abs(Decimal(repr(x)) - Decimal(repr(r))) <= Decimal(1).scaleb(-digits) / 2
+
+
+@given(
+    h=st.integers(1, 32),
+    w=st.integers(1, 32),
+    color=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_webp_roundtrip_any_8bit_content(h, w, color, seed):
+    """VP8L subset is exact for ANY 8-bit-valued content and shape,
+    gray or color — including degenerate 1-pixel and 1-2-symbol images
+    (the simple-code form)."""
+    rng = np.random.default_rng(seed)
+    shape = (3, h, w) if color else (h, w)
+    img = (rng.integers(0, 256, shape).astype(np.uint16)) * np.uint16(257)
+    out = codecs.decode_webp(codecs.encode_webp(img))
+    assert out.shape == (3, h, w)
+    if color:
+        np.testing.assert_array_equal(out, img)
+    else:
+        for c in range(3):
+            np.testing.assert_array_equal(out[c], img)
+
+
+@given(
+    n=st.integers(1, 8),
+    h=st.integers(8, 24),
+    w=st.integers(8, 24),
+    fps=st.integers(1, 60),
+    color=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_avi_container_roundtrip_any_clip(n, h, w, fps, color, seed):
+    """MJPEG-in-AVI: any frame count/geometry/fps survives the container
+    (index-seek frame == full-decode frame; metadata matches)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        base = np.clip(20000 + 8000 * np.sin(xx / 5.0 + t), 0, 65535)
+        if color:
+            frames.append(np.stack([base, base / 2, base / 3]).astype(np.uint16))
+        else:
+            frames.append(base.astype(np.uint16))
+    data = codecs.encode_avi_mjpeg(frames, fps=fps)
+    meta = codecs.parse_avi(data)
+    assert (meta["n_frames"], meta["w"], meta["h"]) == (n, w, h)
+    assert meta["fps"] == float(fps)
+    _, full = codecs.decode_avi_mjpeg(data)
+    pick = int(rng.integers(0, n))
+    np.testing.assert_array_equal(
+        codecs.decode_avi_frame(data, pick, meta), full[pick]
+    )
+
+
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_color_tiff_cog_roundtrip_any_uint16(h, w, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 65536, (3, h, w)).astype(np.uint16)
+    for fmt in ("tiff", "cog"):
+        out = codecs.decode(codecs.encode(img, fmt), fmt, w, h)
+        np.testing.assert_array_equal(out, img)
