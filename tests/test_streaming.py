@@ -318,3 +318,83 @@ def test_incremental_cube_far_lon_late_arrival(spark, sf0001_dir, tmp_path):
         for r in batch_cube.collect()
     }
     assert got == exp
+
+
+def test_quality_gate_stream_matches_batch_filter(spark, sf0001_dir, tmp_path):
+    """Streaming multimodal quality gate: two arrival batches of image rows
+    (good rows + corrupted rows whose stored pHash can't match + a blank
+    tile), processed incrementally, must yield exactly the batch filter
+    over the union — same Arrow decode path, stateless gate."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from xcube_stac_spark import codecs
+    from xcube_stac_spark.streaming import ingest as si
+
+    t = pq2.read_table(os.path.join(sf0001_dir, "images.parquet"))
+    good = t.slice(0, 24)
+    # corrupted rows: stored phash is flipped on every bit -> hamming ~ 63
+    bad = t.slice(24, 8)
+    bad = bad.set_column(
+        bad.schema.get_field_index("phash"),
+        "phash",
+        pa.array([(~int(v.as_py())) & 0x7FFFFFFFFFFFFFFF for v in bad["phash"]],
+                 pa.int64()),
+    )
+    # a blank (zero-variance) tile with a CORRECT phash — caught by min_std
+    blank_img = np.full((16, 16), 777, np.uint16)
+    blank = pa.Table.from_pylist(
+        [
+            {
+                "image_id": "BLANK0",
+                "bytes": codecs.encode(blank_img, "png"),
+                "w": 16, "h": 16, "fmt": "png",
+                "caption": "blank",
+                "phash": int(codecs.phash64(blank_img)),
+            }
+        ],
+        schema=t.schema,
+    )
+    watch = tmp_path / "arrivals"
+    watch.mkdir()
+    pq2.write_table(pa.concat_tables([good.slice(0, 12), bad.slice(0, 4)]),
+                    str(watch / "batch0.parquet"))
+
+    sink = str(tmp_path / "kept")
+    q = (
+        si.quality_gate_stream(si.stream_images(spark, str(watch)))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pq2.write_table(
+        pa.concat_tables([good.slice(12, 12), bad.slice(4, 4), blank]),
+        str(watch / "batch1.parquet"),
+    )
+    q2 = (
+        si.quality_gate_stream(si.stream_images(spark, str(watch)))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    kept = {r.image_id for r in spark.read.parquet(sink).collect()}
+    # batch twin over the union of all arrivals: the gate is the same
+    # DataFrame transformation either way, only the source differs
+    union = spark.read.schema(si.IMAGES_DDL).parquet(str(watch))
+    want = {r.image_id for r in si.quality_gate_stream(union).collect()}
+    assert kept == want
+    assert "BLANK0" not in kept
+    good_ids = {v.as_py() for v in good["image_id"]}
+    bad_ids = {v.as_py() for v in bad["image_id"]}
+    assert not (kept & bad_ids)
+    # every good row survives (corpus rows are self-consistent: lossless
+    # ham=0, lossy small)
+    assert good_ids <= kept

@@ -106,6 +106,45 @@ def session_stats_stream(
     )
 
 
+IMAGES_DDL = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash bigint"
+)
+
+
+def stream_images(spark: SparkSession, watch_dir: str) -> DataFrame:
+    """File-source stream of newly-landed multimodal image rows (the
+    mandated corpus shape; in production a Kafka/object-store notification
+    stream)."""
+    return (
+        spark.readStream.schema(IMAGES_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(watch_dir)
+    )
+
+
+def quality_gate_stream(
+    image_stream: DataFrame, max_phash_hamming: int = 10, min_std: float = 1.0
+) -> DataFrame:
+    """Streaming ingest-time corpus quality gate — the filter a
+    training-data pipeline runs as rows ARRIVE rather than in a nightly
+    batch: full Arrow-batched decode (the SAME multimodal.image_stats
+    mapInPandas as batch — mapInPandas is streaming-capable, so there is
+    ONE implementation of the decode math), then drop rows whose
+    recomputed perceptual hash drifts from the stored one (corruption /
+    mislabeled payload) or whose pixel variance is degenerate (blank
+    tiles). Stateless map+filter: no watermark needed, arbitrarily
+    late rows are still gated identically — streaming output ≡ the batch
+    filter over the union of all arrivals (pinned by test)."""
+    from xcube_stac_spark.operators import multimodal as mm_op
+
+    stats = mm_op.image_stats(image_stream)
+    return stats.where(
+        (F.col("phash_hamming") <= max_phash_hamming)
+        & (F.col("std") >= min_std)
+    ).select("image_id", "fmt", "mean", "std", "phash_hamming")
+
+
 REPROC_SCHEMA = "tile_id string, item_id string, old_version string, new_version string"
 REPROC_STATE = "max_version string"
 
