@@ -212,8 +212,8 @@ def test_thumbnails_block_mean(spark):
 
 
 def test_frame_sample_real_video(spark):
-    """frame_sample is a REAL video reader now: MJPEG-in-AVI clips, idx1
-    index seek, only sampled frames decoded. Sampled stats must equal a
+    """frame_sample is a REAL video reader now: MJPEG clips in AVI or
+    MP4, container-index seek, only sampled frames decoded. Sampled stats must equal a
     direct decode of the same source frames from the deterministic clip
     generator, for both grayscale and color clips."""
     synth.generate("sf0.001")
@@ -239,21 +239,23 @@ def test_frame_sample_real_video(spark):
         assert abs(r.frame_mean - lum_orig.mean()) < 200.0
         assert codecs.psnr(
             frames[src],
-            codecs.decode_avi_frame(bytes(metas[r.video_id].bytes), src),
+            codecs.decode_video_frame(bytes(metas[r.video_id].bytes), src),
         ) >= 40.0
 
 
-def test_video_covers_gray_and_color_clips(spark):
+def test_video_covers_gray_color_and_both_containers(spark):
     synth.generate("sf0.001")
     import pyarrow.parquet as pq2
 
     t = pq2.read_table(synth.ensure_video("sf0.001")).to_pylist()
-    shapes = set()
-    for r in t[:4]:
-        meta = codecs.parse_avi(r["bytes"])
+    shapes, containers = set(), set()
+    for r in t[:6]:
+        containers.add(codecs.sniff_video(r["bytes"]))
+        meta = codecs.parse_video(r["bytes"])
         assert meta["n_frames"] == r["n_frames"]
-        shapes.add(codecs.decode_avi_frame(r["bytes"], 0, meta).ndim)
+        shapes.add(codecs.decode_video_frame(r["bytes"], 0, meta).ndim)
     assert shapes == {2, 3}  # both grayscale and color clips in the table
+    assert containers == {"avi", "mp4"}  # both containers in the table
 
 
 def test_lossy_rows_psnr_above_40db_vs_source():
@@ -294,7 +296,7 @@ def test_lossy_rows_psnr_above_40db_vs_source():
 
 def test_stubbed_formats_raise(spark):
     df = spark.createDataFrame(
-        [("x", b"notanmp4", 4, 4, "mp4", 0)],
+        [("x", b"notanmp3", 4, 4, "mp3", 0)],
         "image_id string, bytes binary, w int, h int, fmt string, phash long",
     )
     with pytest.raises(Exception) as ei:

@@ -560,3 +560,38 @@ def test_webp_low_cardinality_uses_simple_codes_and_compresses():
     ) * 257
     out2 = codecs.decode_webp(codecs.encode_webp(img2))
     np.testing.assert_array_equal(out2[0], img2)
+
+
+def test_mp4_mjpeg_container_roundtrip_and_seek():
+    """ISO-BMFF/MP4 with 'jpeg' samples: box-walk parse (stsd/stts/stsz/
+    stco), O(1) frame seek equals the AVI path's decode of the same
+    frames; sniff_video dispatches both containers."""
+    yy, xx = np.mgrid[0:48, 0:64]
+
+    def frame(i):
+        return np.clip(
+            20000 + 9000 * np.sin(xx / 7.0 + i * 0.5) * np.cos(yy / 9.0), 0, 65535
+        ).astype(np.uint16)
+
+    frames = [frame(i) for i in range(9)]
+    mp4 = codecs.encode_mp4_mjpeg(frames, fps=6)
+    assert mp4[4:8] == b"ftyp"
+    meta = codecs.parse_mp4(mp4)
+    assert (meta["n_frames"], meta["w"], meta["h"], meta["fps"]) == (9, 64, 48, 6.0)
+    for i in (0, 4, 8):
+        assert codecs.psnr(frames[i], codecs.decode_mp4_frame(mp4, i, meta)) >= 40
+    # MJPEG samples are byte-identical across containers: frame seek from
+    # either container decodes to the same pixels
+    avi = codecs.encode_avi_mjpeg(frames, fps=6)
+    assert codecs.sniff_video(mp4) == "mp4" and codecs.sniff_video(avi) == "avi"
+    np.testing.assert_array_equal(
+        codecs.decode_video_frame(mp4, 3), codecs.decode_video_frame(avi, 3)
+    )
+    # color clips flow too
+    cframes = [np.stack([frame(i), frame(i + 1), frame(i + 2)]) for i in range(4)]
+    d = codecs.decode_mp4_frame(codecs.encode_mp4_mjpeg(cframes, fps=3), 2)
+    assert d.shape == (3, 48, 64) and codecs.psnr(cframes[2], d) >= 40
+    with pytest.raises(ValueError):
+        codecs.parse_mp4(b"\x00\x00\x00\x08nope")
+    with pytest.raises(ValueError):
+        codecs.sniff_video(b"garbage!")

@@ -1473,6 +1473,184 @@ def decode_avi_mjpeg(data: bytes) -> tuple[float, list[np.ndarray]]:
 
 
 # ---------------------------------------------------------------------------
+# MP4 — ISO base media file format (ISO/IEC 14496-12) with MJPEG samples
+# (sample entry 'jpeg', the QuickTime-lineage photo-JPEG codec): the SECOND
+# video container, pure-struct like the AVI one. Box layout ftyp|mdat|moov;
+# the sample tables (stsz/stco, one sample per chunk) give O(1) frame seek
+# exactly like AVI's idx1, so the sampler decodes only what it needs.
+# ---------------------------------------------------------------------------
+
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def encode_mp4_mjpeg(frames, fps: int = 10) -> bytes:
+    """MJPEG-in-MP4: each frame a baseline JPEG sample; mdhd timescale =
+    fps with per-sample duration 1 (exact integer timing)."""
+    frames = [np.asarray(f) for f in frames]
+    if not frames:
+        raise ValueError("MP4 needs at least one frame")
+    shapes = {f.shape for f in frames}
+    if len(shapes) != 1:
+        raise ValueError(f"all frames must share one shape, got {shapes}")
+    shape = frames[0].shape
+    h, w = (shape[1], shape[2]) if len(shape) == 3 else shape
+    payloads = [encode_jpeg(f) for f in frames]
+    n = len(payloads)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(payloads))
+    offsets = []
+    pos = len(ftyp) + 8
+    for pl in payloads:
+        offsets.append(pos)
+        pos += len(pl)
+
+    dur_units = n  # at timescale=fps, one unit per frame
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, 1000, n * 1000 // fps)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate, volume, reserved
+        + b"\x00" * 8  # reserved
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">B3B", 0, 0, 0, 3)  # version 0, flags: enabled+in-movie
+        + struct.pack(">IIIII", 0, 0, 1, 0, n * 1000 // fps)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _box(
+        b"mdhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, fps, dur_units)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _box(b"hdlr", struct.pack(">B3x", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"MJPEG\x00")
+    vmhd = _box(b"vmhd", struct.pack(">B3B", 0, 0, 0, 1) + b"\x00" * 8)
+    dref = _box(b"dref", struct.pack(">B3xI", 0, 1) + _box(b"url ", struct.pack(">B3B", 0, 0, 0, 1)))
+    dinf = _box(b"dinf", dref)
+    sample_entry = _box(
+        b"jpeg",
+        b"\x00" * 6 + struct.pack(">H", 1)  # data reference index
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)  # frame count per sample
+        + b"\x05MJPEG" + b"\x00" * 26  # 32-byte pascal compressorname
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = _box(b"stsd", struct.pack(">B3xI", 0, 1) + sample_entry)
+    stts = _box(b"stts", struct.pack(">B3xI", 0, 1) + struct.pack(">II", n, 1))
+    stsc = _box(b"stsc", struct.pack(">B3xI", 0, 1) + struct.pack(">III", 1, 1, 1))
+    stsz = _box(
+        b"stsz",
+        struct.pack(">B3xII", 0, 0, n) + struct.pack(f">{n}I", *map(len, payloads)),
+    )
+    stco = _box(b"stco", struct.pack(">B3xI", 0, n) + struct.pack(f">{n}I", *offsets))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def parse_mp4(data: bytes) -> dict:
+    """Container-level parse (no pixel decode): box walk to the 'jpeg'
+    sample table; returns the same dict shape as parse_avi (fps, n_frames,
+    w, h, entries=[(absolute offset, size)])."""
+
+    def children(pos: int, end: int):
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            if size < 8:
+                raise ValueError("bad MP4 box size")
+            yield tag, pos + 8, pos + size
+            pos += size
+
+    def find(pos: int, end: int, path: list[bytes]) -> tuple[int, int]:
+        tag, *rest = path
+        for t, s, e in children(pos, end):
+            if t == tag:
+                if not rest:
+                    return s, e
+                return find(s, e, rest)
+        raise ValueError(f"MP4 missing box {b'/'.join(path).decode()}")
+
+    if data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (mp4) stream")
+    stbl_s, stbl_e = find(0, len(data), [b"moov", b"trak", b"mdia", b"minf", b"stbl"])
+    mdhd_s, _ = find(0, len(data), [b"moov", b"trak", b"mdia", b"mdhd"])
+    timescale, duration = struct.unpack(">II", data[mdhd_s + 12 : mdhd_s + 20])
+    boxes = {t: (s, e) for t, s, e in children(stbl_s, stbl_e)}
+    for need in (b"stsd", b"stsz", b"stco", b"stts"):
+        if need not in boxes:
+            raise ValueError(f"MP4 missing {need.decode()}")
+    sd_s, _ = boxes[b"stsd"]
+    entry_tag = data[sd_s + 12 : sd_s + 16]
+    if entry_tag != b"jpeg":
+        raise ValueError(f"unsupported MP4 sample entry {entry_tag!r} (jpeg only)")
+    w, h = struct.unpack(">HH", data[sd_s + 40 : sd_s + 44])
+    sz_s, _ = boxes[b"stsz"]
+    # full-box payloads: version+flags (4 bytes) precede the fields
+    uniform, count = struct.unpack(">II", data[sz_s + 4 : sz_s + 12])
+    if uniform:
+        sizes = [uniform] * count
+    else:
+        sizes = list(struct.unpack(f">{count}I", data[sz_s + 12 : sz_s + 12 + 4 * count]))
+    co_s, _ = boxes[b"stco"]
+    (n_chunks,) = struct.unpack(">I", data[co_s + 4 : co_s + 8])
+    offs = list(struct.unpack(f">{n_chunks}I", data[co_s + 8 : co_s + 8 + 4 * n_chunks]))
+    if n_chunks != count:
+        raise ValueError("MP4 stsc layouts other than one-sample-per-chunk unsupported")
+    tt_s, _ = boxes[b"stts"]
+    # fps from the first stts run (constant-rate clips have exactly one)
+    cnt0, delta0 = struct.unpack(">II", data[tt_s + 8 : tt_s + 16])
+    fps = timescale / max(1, delta0)
+    return {
+        "fps": fps,
+        "n_frames": count,
+        "w": w,
+        "h": h,
+        "entries": list(zip(offs, sizes)),
+    }
+
+
+def decode_mp4_frame(data: bytes, idx: int, meta: dict | None = None) -> np.ndarray:
+    meta = meta or parse_mp4(data)
+    off, size = meta["entries"][idx]
+    return decode_jpeg(data[off : off + size])
+
+
+def sniff_video(data: bytes) -> str:
+    """'avi' | 'mp4' by magic — the container dispatch for video rows."""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
+    if len(data) >= 8 and data[4:8] == b"ftyp":
+        return "mp4"
+    raise ValueError("unknown video container (RIFF/AVI or ISO-BMFF expected)")
+
+
+def parse_video(data: bytes) -> dict:
+    return parse_avi(data) if sniff_video(data) == "avi" else parse_mp4(data)
+
+
+def decode_video_frame(data: bytes, idx: int, meta: dict | None = None) -> np.ndarray:
+    meta = meta or parse_video(data)
+    off, size = meta["entries"][idx]
+    return decode_jpeg(data[off : off + size])
+
+
+# ---------------------------------------------------------------------------
 # WebP — VP8L lossless (RIFF "WEBP"/"VP8L"), pure-struct subset of the
 # public "WebP Lossless Bitstream Specification": no transforms, no color
 # cache, no LZ77 backrefs, one Huffman group — every pixel is four literal

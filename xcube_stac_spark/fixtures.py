@@ -220,23 +220,25 @@ def _fx_image_stats(sdir: str, out_dir: str) -> None:
 
 
 def _fx_video_frames(sf: str, sdir: str, out_dir: str) -> None:
-    """Independent mirror of multimodal.frame_sample over the video table:
-    the AVI container is parsed with a SEPARATE sequential RIFF walker
-    (plain movi-list scan — NOT codecs.parse_avi, whose frame offsets come
-    from the idx1 index), so the engine's index-seek access path is
-    cross-checked against chunk order. Frame pixels decode through the
-    baseline-JPEG codec, which is independently oracled by the image
-    fixtures (stored-pHash checks) and PSNR tests."""
+    """Independent mirror of multimodal.frame_sample over the video table,
+    per container:
+
+    * AVI — a SEPARATE sequential RIFF walker (plain movi-list scan, NOT
+      codecs.parse_avi whose offsets come from the idx1 index), so the
+      engine's index-seek path is cross-checked against chunk order;
+    * MP4 — frame payloads recovered by slicing the mdat blob with
+      CUMULATIVE stsz sizes (the engine's parse_mp4 uses the stco
+      absolute-offset table instead — two different derivations of the
+      same frame boundaries).
+
+    Frame pixels decode through the baseline-JPEG codec, which is
+    independently oracled by the image fixtures (stored-pHash checks) and
+    PSNR tests."""
     import struct as _s
 
     from xcube_stac_spark import synth as synth_mod
 
-    vpath = synth_mod.ensure_video(sf, out_root=os.path.dirname(sdir))
-    rows = []
-    for r in pq.read_table(vpath).to_pylist():
-        data = r["bytes"]
-        assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
-        # sequential scan: every '00dc' chunk in stream order
+    def avi_payloads(data):
         payloads = []
         fps = None
 
@@ -255,6 +257,58 @@ def _fx_video_frames(sf: str, sdir: str, out_dir: str) -> None:
                 pos += 8 + size + (size & 1)
 
         walk(12, len(data))
+        return payloads, fps
+
+    def mp4_payloads(data):
+        # flat box scan for mdat extent; recursive scan for stsz/mdhd/stts
+        sizes = []
+        mdat = None
+        timescale = delta0 = None
+
+        def walk(pos, end):
+            nonlocal mdat, sizes, timescale, delta0
+            while pos + 8 <= end:
+                (size,) = _s.unpack(">I", data[pos : pos + 4])
+                tag = data[pos + 4 : pos + 8]
+                if tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                    walk(pos + 8, pos + size)
+                elif tag == b"mdat":
+                    mdat = (pos + 8, pos + size)
+                elif tag == b"stsz":
+                    uniform, count = _s.unpack(">II", data[pos + 12 : pos + 20])
+                    sizes = (
+                        [uniform] * count
+                        if uniform
+                        else list(
+                            _s.unpack(
+                                f">{count}I", data[pos + 20 : pos + 20 + 4 * count]
+                            )
+                        )
+                    )
+                elif tag == b"mdhd":
+                    (timescale,) = _s.unpack(">I", data[pos + 20 : pos + 24])
+                elif tag == b"stts":
+                    _, delta0 = _s.unpack(">II", data[pos + 16 : pos + 24])
+                pos += size
+
+        walk(0, len(data))
+        assert mdat is not None and sizes and timescale and delta0
+        payloads = []
+        pos = mdat[0]
+        for sz in sizes:
+            payloads.append(data[pos : pos + sz])
+            pos += sz
+        assert pos == mdat[1], "stsz sizes must exactly tile the mdat blob"
+        return payloads, timescale / delta0
+
+    vpath = synth_mod.ensure_video(sf, out_root=os.path.dirname(sdir))
+    rows = []
+    for r in pq.read_table(vpath).to_pylist():
+        data = r["bytes"]
+        if data[:4] == b"RIFF":
+            payloads, fps = avi_payloads(data)
+        else:
+            payloads, fps = mp4_payloads(data)
         assert len(payloads) == r["n_frames"] and fps is not None
         k = min(N_FRAMES, len(payloads))
         idxs = np.unique(np.linspace(0, len(payloads) - 1, k).astype(int))
@@ -685,9 +739,13 @@ def ensure_fixtures(sf: str, force: bool = False) -> str:
     emb_path = os.path.join(
         os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), sf, "embeddings.parquet"
     )
-    stamp = f"{FIXTURE_VERSION}:{synth.SYNTH_VERSION}" + (
-        "" if os.path.exists(emb_path) else ":no-embeddings"
-    )
+    # audio/video tables have their OWN version markers (they regenerate
+    # without a SYNTH_VERSION bump), so their versions must be in the stamp
+    # or their fixtures would serve stale answers after a table change
+    stamp = (
+        f"{FIXTURE_VERSION}:{synth.SYNTH_VERSION}"
+        f":a{synth.AUDIO_VERSION}v{synth.VIDEO_VERSION}"
+    ) + ("" if os.path.exists(emb_path) else ":no-embeddings")
     if not force and os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:

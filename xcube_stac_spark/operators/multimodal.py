@@ -5,8 +5,9 @@ Images/audio/video are opaque ``binary`` columns with typed metadata
 partitioning, Arrow batch shapes — with the engine's own codecs doing real
 decode for images (``raw``/``png``/``lossy``/``jpeg``/``tiff``/``cog``/
 ``webp`` VP8L, grayscale AND color), audio (RIFF/PCM16 WAV) and video
-(MJPEG-in-AVI with idx1-seek frame sampling); formats needing codec
-libraries absent from this runtime (mp3, mp4, mkv) are STUBBED behind a
+(MJPEG in RIFF/AVI or ISO-BMFF/MP4, index-seek frame sampling); formats
+needing codec
+libraries absent from this runtime (mp3, mkv) are STUBBED behind a
 clearly-marked NotImplementedError (the dispatch seam is where PIL/ffmpeg
 decoders would plug in).
 
@@ -31,7 +32,7 @@ from xcube_stac_spark import codecs
 #: wav is REAL now but routed through audio_features (its own table), not
 #: the image dispatch
 SUPPORTED = set(codecs.DECODERS)
-STUBBED = {"mp3", "mp4", "mkv"}
+STUBBED = {"mp3", "mkv"}
 
 
 def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
@@ -42,9 +43,9 @@ def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
             "fmt='wav' is audio, not an image — audio rows live in the "
             "audio table and decode through multimodal.audio_features"
         )
-    if fmt == "avi":
+    if fmt in ("avi", "mp4"):
         raise ValueError(
-            "fmt='avi' is video, not an image — video rows live in the "
+            f"fmt={fmt!r} is video, not an image — video rows live in the "
             "video table and decode through multimodal.frame_sample"
         )
     if fmt in STUBBED:
@@ -199,15 +200,16 @@ def audio_features(audio: DataFrame) -> DataFrame:
 
 
 def frame_sample(videos: DataFrame, n_frames: int = 4) -> DataFrame:
-    """REAL video-frame sampling over the opaque MJPEG-in-AVI binary
-    column (codecs.encode_avi_mjpeg / parse_avi): per clip, ``n_frames``
-    evenly-spaced source frames are picked from the idx1 index and ONLY
-    those JPEG payloads are decoded — O(k) per clip regardless of clip
+    """REAL video-frame sampling over the opaque video binary column —
+    MJPEG in either container (RIFF/AVI idx1 or ISO-BMFF/MP4 stsz+stco,
+    sniffed by magic): per clip, ``n_frames`` evenly-spaced source frames
+    are picked from the container index and ONLY those JPEG payloads are
+    decoded — O(k) per clip regardless of clip
     length, the at-scale contract of a 10^12-row corpus sampler. Output is
     the exploded per-frame row shape: (video_id, frame_idx 0..k-1,
     src_frame, t_sec = src/fps, luma mean/std). Arrow-batched mapInPandas;
     container metadata (n_frames, fps) is verified against the stream.
-    Formats needing external codecs (mp4/mkv) still raise at the dispatch
+    Formats needing external codecs (mp3/mkv) still raise at the dispatch
     seam (`STUBBED`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -215,7 +217,7 @@ def frame_sample(videos: DataFrame, n_frames: int = 4) -> DataFrame:
             out = {k.name: [] for k in FRAME_SCHEMA.fields}
             for r in pdf.itertuples(index=False):
                 data = bytes(r.bytes)
-                meta = codecs.parse_avi(data)
+                meta = codecs.parse_video(data)
                 if int(meta["n_frames"]) != int(r.n_frames):
                     raise ValueError(
                         f"{r.video_id}: container says {meta['n_frames']} "
@@ -226,7 +228,7 @@ def frame_sample(videos: DataFrame, n_frames: int = 4) -> DataFrame:
                     np.linspace(0, meta["n_frames"] - 1, k).astype(int)
                 )
                 for j, src in enumerate(idxs):
-                    lum = codecs.luma(codecs.decode_avi_frame(data, int(src), meta))
+                    lum = codecs.luma(codecs.decode_video_frame(data, int(src), meta))
                     out["video_id"].append(r.video_id)
                     out["frame_idx"].append(int(j))
                     out["src_frame"].append(int(src))

@@ -596,7 +596,7 @@ def ensure_audio(sf: str, out_root: str | None = None) -> str:
 #: like AUDIO_VERSION: the video table is generated lazily beside an
 #: existing synth dir with its own marker, so it never invalidates the
 #: scene/image payloads or the scaling-history data_version
-VIDEO_VERSION = 1
+VIDEO_VERSION = 2  # v2: clips alternate AVI / MP4 containers
 VIDEO_W, VIDEO_H = 64, 48
 
 
@@ -629,9 +629,11 @@ def video_clip_frames(i: int) -> np.ndarray:
 
 def ensure_video(sf: str, out_root: str | None = None) -> str:
     """Deterministic video table (the video modality of the multimodal
-    brief): MJPEG-in-AVI clips as opaque binary + typed metadata
-    (video_id, bytes, fps, n_frames, w, h, caption). Grayscale and 4:2:0
-    color clips alternate so both JPEG paths flow through the container."""
+    brief): MJPEG clips as opaque binary + typed metadata (video_id,
+    bytes, fps, n_frames, w, h, caption). Grayscale and 4:2:0 color clips
+    alternate so both JPEG paths flow, and the CONTAINER alternates
+    between RIFF/AVI and ISO-BMFF/MP4 so both index-seek paths are in the
+    corpus (the reader sniffs by magic)."""
     p = PARAMS[sf]
     out_dir = os.path.join(out_root or SYNTH_ROOT, sf)
     marker = os.path.join(out_dir, "_VIDEO_SUCCESS")
@@ -645,10 +647,11 @@ def ensure_video(sf: str, out_root: str | None = None) -> str:
     for i in range(4 * p.days):
         frames = video_clip_frames(i)
         fps = 4 + i % 5
+        enc = codecs.encode_avi_mjpeg if (i // 2) % 2 == 0 else codecs.encode_mp4_mjpeg
         rows.append(
             dict(
                 video_id=f"VID{i:04d}",
-                bytes=codecs.encode_avi_mjpeg(list(frames), fps=fps),
+                bytes=enc(list(frames), fps=fps),
                 fps=np.int32(fps),
                 n_frames=np.int32(len(frames)),
                 w=np.int32(VIDEO_W),
