@@ -603,3 +603,32 @@ def test_scene_layout_append_and_compact(spark, tmp_path):
     n_inc = len(glob.glob(os.path.join(inc_p, "pcell=*", "*.parquet")))
     n_gen2 = len(glob.glob(os.path.join(gen2, "pcell=*", "*.parquet")))
     assert n_gen2 <= n_inc
+
+
+def test_sq8_quantized_topk_recall_and_types(spark):
+    """SQ8 scalar quantization (the 4-8x memory/IO lever for 10^12-vector
+    serving): int8 storage type on the wire, NumPy-exact quantization rule,
+    and >= 0.9 recall@10 of the exact-float top-10 when ranking runs
+    entirely on the int8 representation."""
+    emb = entry_mod._emb(spark, SF_DIR).select("vec_id", "embedding")
+    q = entry_mod._ann_queries_df(spark, SF_DIR)
+    quant = ann_op.sq8_quantize(emb)
+    # storage really is int8 + one float scale
+    dt = dict(quant.dtypes)
+    assert dt["qvec8"] == "array<tinyint>" and dt["qscale"] == "float"
+    # NumPy twin of the quantization rule (HALF-even round like F.round? —
+    # F.round is HALF_UP; verify against the exact column values instead)
+    r = quant.orderBy("vec_id").first()
+    v = np.asarray(r.embedding, np.float64)
+    mx = max(np.abs(v).max(), 1e-30)
+    x = v * 127.0 / mx
+    exp = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int8)  # HALF_UP
+    np.testing.assert_array_equal(np.asarray(r.qvec8, np.int8), exp)
+    assert abs(r.qscale - mx / 127.0) < 1e-9
+
+    got = ann_op.sq8_topk(quant, q, k=10).collect()
+    exact = ann_op.brute_force_topk(emb, q, k=10).collect()
+    truth = {(r.query_id, r.vec_id) for r in exact}
+    pred = {(r.query_id, r.vec_id) for r in got}
+    recall = len(pred & truth) / len(truth)
+    assert recall >= 0.9, recall

@@ -628,3 +628,59 @@ def knn_join_exact(embeddings: DataFrame, k: int = 5) -> DataFrame:
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — the memory/IO lever for 10^12-vector serving:
+# float64/float32 embeddings stored as int8 + one per-vector scale cut the
+# at-rest and shuffle bytes 4-8x, and cosine over SYMMETRICALLY quantized
+# vectors is scale-free (the per-vector scales cancel in the normalized dot
+# product), so ranking quality degrades only by the 1/127 rounding noise.
+# ---------------------------------------------------------------------------
+
+
+def sq8_quantize(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = round(127 * v_i /
+    max|v|), stored as array<tinyint> + the float scale (max|v|/127) for
+    consumers that need magnitudes. Pure Column expressions — JVM-side,
+    codegen'd, no UDF."""
+    mx = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    safe = F.greatest(mx, F.lit(1e-30))
+    return embeddings.withColumn(
+        "qvec8",
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 127.0 / safe).cast("tinyint"),
+        ),
+    ).withColumn("qscale", (safe / 127.0).cast("float"))
+
+
+def sq8_topk(
+    quantized: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact-cosine top-k computed ENTIRELY on the int8 representation
+    (the query is quantized with the same rule): cosine of quantized
+    vectors — the per-vector scales cancel, so no dequantization and no
+    float payload is ever read. Same output shape/tie-breaks as
+    brute_force_topk; recall vs the float ranking is pinned by test."""
+    qq = sq8_quantize(queries, "qvec").select(
+        "query_id", F.col("qvec8").alias("q8")
+    )
+    joined = quantized.select("vec_id", "qvec8").crossJoin(
+        F.broadcast(qq)
+    ).where(F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qvec8"), F.col("q8")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
