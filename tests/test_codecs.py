@@ -595,3 +595,45 @@ def test_mp4_mjpeg_container_roundtrip_and_seek():
         codecs.parse_mp4(b"\x00\x00\x00\x08nope")
     with pytest.raises(ValueError):
         codecs.sniff_video(b"garbage!")
+
+
+def test_container_parsers_raise_only_valueerror_on_corruption():
+    """Fuzz contract for every pure-struct container parser: truncation,
+    byte flips and magic-preserving garbage must raise ValueError (or
+    NotImplementedError for declared-unsupported features) — never a raw
+    struct.error / KeyError / IndexError. A corrupt row in a 10^12-row
+    corpus must fail a task with a diagnosable message, not a stack
+    internals error."""
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:24, 0:32]
+
+    def frame(i):
+        return np.clip(20000 + 9000 * np.sin(xx / 7.0 + i), 0, 65535).astype(
+            np.uint16
+        )
+
+    samples = {
+        "avi": (codecs.parse_avi, codecs.encode_avi_mjpeg([frame(i) for i in range(3)], fps=5)),
+        "mp4": (codecs.parse_mp4, codecs.encode_mp4_mjpeg([frame(i) for i in range(3)], fps=5)),
+        "webp": (codecs.decode_webp, codecs.encode_webp((frame(0) // 257) * 257)),
+        "wav": (codecs.decode_wav, codecs.encode_wav(np.zeros(100, np.int16), 4000)),
+        "nc": (codecs.decode_netcdf3, codecs.encode_netcdf3({"a": np.zeros((3, 4), np.float32)})),
+    }
+    for name, (parse, data) in samples.items():
+        for trial in range(300):
+            kind = trial % 3
+            if kind == 0:
+                mutated = data[: int(rng.integers(0, len(data)))]
+            elif kind == 1:
+                m = bytearray(data)
+                for _ in range(int(rng.integers(1, 8))):
+                    m[int(rng.integers(0, len(m)))] = int(rng.integers(0, 256))
+                mutated = bytes(m)
+            else:
+                mutated = data[:12] + bytes(
+                    rng.integers(0, 256, int(rng.integers(0, 200))).astype(np.uint8)
+                )
+            try:
+                parse(mutated)
+            except (ValueError, NotImplementedError):
+                pass  # the contract

@@ -1177,7 +1177,17 @@ def encode_netcdf3(variables: dict[str, np.ndarray]) -> bytes:
 def decode_netcdf3(data: bytes) -> dict[str, np.ndarray]:
     """CDF-1/CDF-2 reader for fixed variables (attributes parsed and
     skipped; record variables rejected). Returns {name: native-order
-    ndarray shaped by the variable's dims}."""
+    ndarray shaped by the variable's dims}. Truncated/corrupt streams
+    raise ValueError (never a raw struct/Key/Index error)."""
+    try:
+        return _decode_netcdf3(data)
+    except (struct.error, KeyError, IndexError, UnicodeDecodeError) as e:
+        raise ValueError(
+            f"truncated or corrupt NetCDF classic stream: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_netcdf3(data: bytes) -> dict[str, np.ndarray]:
     if data[:3] != b"CDF" or data[3] not in (1, 2):
         raise ValueError("not a NetCDF classic stream")
     wide = data[3] == 2  # CDF-2: 64-bit begin offsets
@@ -1385,7 +1395,15 @@ def parse_avi(data: bytes) -> dict:
     """Container-level parse (no pixel decode): walks the RIFF chunk list,
     reads avih/strh for (fps, n_frames, w, h) and idx1 for per-frame
     ABSOLUTE payload offsets — the O(1) random-access map a frame sampler
-    seeks with. Falls back to scanning the movi list when idx1 is absent."""
+    seeks with. Falls back to scanning the movi list when idx1 is absent.
+    Truncated/corrupt streams raise ValueError (never a raw struct.error)."""
+    try:
+        return _parse_avi(data)
+    except struct.error as e:
+        raise ValueError(f"truncated or corrupt AVI stream: {e}") from e
+
+
+def _parse_avi(data: bytes) -> dict:
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI stream")
     pos = 12
@@ -1566,8 +1584,15 @@ def encode_mp4_mjpeg(frames, fps: int = 10) -> bytes:
 def parse_mp4(data: bytes) -> dict:
     """Container-level parse (no pixel decode): box walk to the 'jpeg'
     sample table; returns the same dict shape as parse_avi (fps, n_frames,
-    w, h, entries=[(absolute offset, size)])."""
+    w, h, entries=[(absolute offset, size)]). Truncated/corrupt streams
+    raise ValueError (never a raw struct.error)."""
+    try:
+        return _parse_mp4(data)
+    except struct.error as e:
+        raise ValueError(f"truncated or corrupt MP4 stream: {e}") from e
 
+
+def _parse_mp4(data: bytes) -> dict:
     def children(pos: int, end: int):
         while pos + 8 <= end:
             (size,) = struct.unpack(">I", data[pos : pos + 4])
