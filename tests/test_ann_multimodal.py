@@ -249,13 +249,13 @@ def test_video_covers_gray_color_and_both_containers(spark):
 
     t = pq2.read_table(synth.ensure_video("sf0.001")).to_pylist()
     shapes, containers = set(), set()
-    for r in t[:6]:
+    for r in t[:8]:
         containers.add(codecs.sniff_video(r["bytes"]))
         meta = codecs.parse_video(r["bytes"])
         assert meta["n_frames"] == r["n_frames"]
         shapes.add(codecs.decode_video_frame(r["bytes"], 0, meta).ndim)
     assert shapes == {2, 3}  # both grayscale and color clips in the table
-    assert containers == {"avi", "mp4"}  # both containers in the table
+    assert containers == {"avi", "mp4", "mkv"}  # all three containers
 
 
 def test_lossy_rows_psnr_above_40db_vs_source():

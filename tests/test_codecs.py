@@ -618,6 +618,7 @@ def test_container_parsers_raise_only_valueerror_on_corruption():
         "webp": (codecs.decode_webp, codecs.encode_webp((frame(0) // 257) * 257)),
         "wav": (codecs.decode_wav, codecs.encode_wav(np.zeros(100, np.int16), 4000)),
         "nc": (codecs.decode_netcdf3, codecs.encode_netcdf3({"a": np.zeros((3, 4), np.float32)})),
+        "mkv": (codecs.parse_mkv, codecs.encode_mkv_mjpeg([frame(i) for i in range(3)], fps=5)),
     }
     for name, (parse, data) in samples.items():
         for trial in range(300):
@@ -637,3 +638,36 @@ def test_container_parsers_raise_only_valueerror_on_corruption():
                 parse(mutated)
             except (ValueError, NotImplementedError):
                 pass  # the contract
+
+
+def test_mkv_mjpeg_container_roundtrip_and_seek():
+    """EBML/Matroska with V_MJPEG SimpleBlocks: metadata-only walk yields
+    (fps, n_frames, w, h) + absolute frame offsets; seek decode equals the
+    other containers' decode of the same frames."""
+    yy, xx = np.mgrid[0:48, 0:64]
+
+    def frame(i):
+        return np.clip(
+            20000 + 9000 * np.sin(xx / 7.0 + i * 0.5) * np.cos(yy / 9.0), 0, 65535
+        ).astype(np.uint16)
+
+    frames = [frame(i) for i in range(9)]
+    for fps in (4, 6, 7, 30):
+        mkv = codecs.encode_mkv_mjpeg(frames, fps=fps)
+        meta = codecs.parse_mkv(mkv)
+        assert (meta["n_frames"], meta["w"], meta["h"], meta["fps"]) == (9, 64, 48, float(fps))
+    mkv = codecs.encode_mkv_mjpeg(frames, fps=6)
+    assert codecs.sniff_video(mkv) == "mkv"
+    avi = codecs.encode_avi_mjpeg(frames, fps=6)
+    mp4 = codecs.encode_mp4_mjpeg(frames, fps=6)
+    np.testing.assert_array_equal(
+        codecs.decode_video_frame(mkv, 3), codecs.decode_video_frame(avi, 3)
+    )
+    np.testing.assert_array_equal(
+        codecs.decode_video_frame(mkv, 3), codecs.decode_video_frame(mp4, 3)
+    )
+    cframes = [np.stack([frame(i), frame(i + 1), frame(i + 2)]) for i in range(4)]
+    d = codecs.decode_video_frame(codecs.encode_mkv_mjpeg(cframes, fps=3), 2)
+    assert d.shape == (3, 48, 64) and codecs.psnr(cframes[2], d) >= 40
+    with pytest.raises(ValueError):
+        codecs.parse_mkv(b"nope")

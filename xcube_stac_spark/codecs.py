@@ -1656,17 +1656,194 @@ def decode_mp4_frame(data: bytes, idx: int, meta: dict | None = None) -> np.ndar
     return decode_jpeg(data[off : off + size])
 
 
+# ---------------------------------------------------------------------------
+# MKV — Matroska (EBML) with MJPEG blocks (CodecID V_MJPEG): the THIRD
+# video container, pure-struct like AVI and MP4. EBML is a varint-length
+# element tree; frames are SimpleBlocks in one Cluster. A linear
+# metadata-only walk yields the absolute frame offsets, so seek stays O(1)
+# after one parse — same contract as idx1 / stco.
+# ---------------------------------------------------------------------------
+
+
+def _ebml_id(i: int) -> bytes:
+    """Element IDs are stored verbatim (their leading bits encode length)."""
+    n = (i.bit_length() + 7) // 8
+    return i.to_bytes(n, "big")
+
+
+def _ebml_size(v: int) -> bytes:
+    """EBML varint data size: length descriptor bit + value."""
+    for n in range(1, 9):
+        if v < (1 << (7 * n)) - 1:
+            return ((1 << (7 * n)) | v).to_bytes(n, "big")
+    raise ValueError("EBML size too large")
+
+
+def _ebml_el(eid: int, payload: bytes) -> bytes:
+    return _ebml_id(eid) + _ebml_size(len(payload)) + payload
+
+
+def _ebml_uint(v: int) -> bytes:
+    return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+
+def encode_mkv_mjpeg(frames, fps: int = 10) -> bytes:
+    """MJPEG-in-Matroska: TimecodeScale 1 ms, one Cluster at timecode 0,
+    one keyframe SimpleBlock per frame with millisecond-rounded relative
+    timecodes; fps is recoverable exactly from DefaultDuration (ns)."""
+    frames = [np.asarray(f) for f in frames]
+    if not frames:
+        raise ValueError("MKV needs at least one frame")
+    shapes = {f.shape for f in frames}
+    if len(shapes) != 1:
+        raise ValueError(f"all frames must share one shape, got {shapes}")
+    shape = frames[0].shape
+    h, w = (shape[1], shape[2]) if len(shape) == 3 else shape
+    payloads = [encode_jpeg(f) for f in frames]
+    header = _ebml_el(
+        0x1A45DFA3,
+        _ebml_el(0x4286, _ebml_uint(1))      # EBMLVersion
+        + _ebml_el(0x42F7, _ebml_uint(1))    # EBMLReadVersion
+        + _ebml_el(0x42F2, _ebml_uint(4))    # EBMLMaxIDLength
+        + _ebml_el(0x42F3, _ebml_uint(8))    # EBMLMaxSizeLength
+        + _ebml_el(0x4282, b"matroska")      # DocType
+        + _ebml_el(0x4287, _ebml_uint(2))    # DocTypeVersion
+        + _ebml_el(0x4285, _ebml_uint(2)),   # DocTypeReadVersion
+    )
+    info = _ebml_el(
+        0x1549A966,
+        _ebml_el(0x2AD7B1, _ebml_uint(1_000_000))  # TimecodeScale: 1 ms ticks
+        + _ebml_el(0x4D80, b"xcube_stac_spark")    # MuxingApp
+        + _ebml_el(0x5741, b"xcube_stac_spark")    # WritingApp
+        + _ebml_el(0x4489, struct.pack(">d", len(frames) * 1000.0 / fps)),
+    )
+    tracks = _ebml_el(
+        0x1654AE6B,
+        _ebml_el(
+            0xAE,
+            _ebml_el(0xD7, _ebml_uint(1))          # TrackNumber
+            + _ebml_el(0x73C5, _ebml_uint(1))      # TrackUID
+            + _ebml_el(0x83, _ebml_uint(1))        # TrackType = video
+            + _ebml_el(0x23E383, _ebml_uint(round(1e9 / fps)))  # DefaultDuration ns
+            + _ebml_el(0x86, b"V_MJPEG")           # CodecID
+            + _ebml_el(
+                0xE0,
+                _ebml_el(0xB0, _ebml_uint(w)) + _ebml_el(0xBA, _ebml_uint(h)),
+            ),
+        ),
+    )
+    blocks = b"".join(
+        _ebml_el(
+            0xA3,  # SimpleBlock: track varint, int16 rel. timecode, flags
+            b"\x81" + struct.pack(">h", round(i * 1000 / fps)) + b"\x80" + pl,
+        )
+        for i, pl in enumerate(payloads)
+    )
+    cluster = _ebml_el(0x1F43B675, _ebml_el(0xE7, _ebml_uint(0)) + blocks)
+    segment = _ebml_el(0x18538067, info + tracks + cluster)
+    return header + segment
+
+
+def _ebml_read_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """(value, new_pos). keep_marker=True for IDs (stored verbatim),
+    False for sizes (length-descriptor bit stripped)."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML stream")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("bad EBML varint")
+    n = 8 - first.bit_length() + 1
+    if pos + n > len(data):
+        raise ValueError("truncated EBML varint")
+    v = int.from_bytes(data[pos : pos + n], "big")
+    if not keep_marker:
+        v &= (1 << (7 * n)) - 1
+    return v, pos + n
+
+
+def parse_mkv(data: bytes) -> dict:
+    """Metadata-only EBML walk: Tracks for (w, h, fps via DefaultDuration,
+    V_MJPEG check), SimpleBlocks for absolute frame payload offsets.
+    Same dict shape as parse_avi/parse_mp4."""
+    try:
+        return _parse_mkv(data)
+    except struct.error as e:
+        raise ValueError(f"truncated or corrupt MKV stream: {e}") from e
+
+
+def _parse_mkv(data: bytes) -> dict:
+    if data[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("not an EBML/Matroska stream")
+    w = h = None
+    fps = None
+    codec = None
+    entries: list[tuple[int, int]] = []
+
+    #: master elements to descend into
+    masters = {0x18538067, 0x1654AE6B, 0xAE, 0xE0, 0x1F43B675}
+
+    def walk(pos: int, end: int):
+        nonlocal w, h, fps, codec
+        while pos < end:
+            eid, p = _ebml_read_vint(data, pos, keep_marker=True)
+            size, p = _ebml_read_vint(data, p, keep_marker=False)
+            if p + size > len(data):
+                raise ValueError("truncated EBML element")
+            if eid in masters:
+                walk(p, p + size)
+            elif eid == 0xB0:
+                w = int.from_bytes(data[p : p + size], "big")
+            elif eid == 0xBA:
+                h = int.from_bytes(data[p : p + size], "big")
+            elif eid == 0x23E383:
+                fps = 1e9 / int.from_bytes(data[p : p + size], "big")
+            elif eid == 0x86:
+                codec = data[p : p + size]
+            elif eid == 0xA3:
+                # SimpleBlock: track vint + 2-byte timecode + 1 flags byte
+                _, bp = _ebml_read_vint(data, p, keep_marker=False)
+                bp += 3
+                entries.append((bp, p + size - bp))
+            pos = p + size
+
+    # skip the EBML header element, then walk the rest (Segment)
+    eid, p = _ebml_read_vint(data, 0, keep_marker=True)
+    size, p = _ebml_read_vint(data, p, keep_marker=False)
+    walk(p + size, len(data))
+    if codec != b"V_MJPEG":
+        raise ValueError(f"unsupported MKV codec {codec!r} (V_MJPEG only)")
+    if w is None or h is None or fps is None:
+        raise ValueError("MKV missing track video metadata")
+    return {
+        "fps": round(fps, 6),
+        "n_frames": len(entries),
+        "w": w,
+        "h": h,
+        "entries": entries,
+    }
+
+
 def sniff_video(data: bytes) -> str:
-    """'avi' | 'mp4' by magic — the container dispatch for video rows."""
+    """'avi' | 'mp4' | 'mkv' by magic — the container dispatch for video
+    rows."""
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return "avi"
     if len(data) >= 8 and data[4:8] == b"ftyp":
         return "mp4"
-    raise ValueError("unknown video container (RIFF/AVI or ISO-BMFF expected)")
+    if data[:4] == b"\x1a\x45\xdf\xa3":
+        return "mkv"
+    raise ValueError(
+        "unknown video container (RIFF/AVI, ISO-BMFF or EBML/Matroska expected)"
+    )
 
 
 def parse_video(data: bytes) -> dict:
-    return parse_avi(data) if sniff_video(data) == "avi" else parse_mp4(data)
+    kind = sniff_video(data)
+    if kind == "avi":
+        return parse_avi(data)
+    if kind == "mp4":
+        return parse_mp4(data)
+    return parse_mkv(data)
 
 
 def decode_video_frame(data: bytes, idx: int, meta: dict | None = None) -> np.ndarray:

@@ -229,7 +229,9 @@ def _fx_video_frames(sf: str, sdir: str, out_dir: str) -> None:
     * MP4 — frame payloads recovered by slicing the mdat blob with
       CUMULATIVE stsz sizes (the engine's parse_mp4 uses the stco
       absolute-offset table instead — two different derivations of the
-      same frame boundaries).
+      same frame boundaries);
+    * MKV — an independently-written minimal EBML scanner (flat varint
+      walk collecting SimpleBlocks; fps from DefaultDuration).
 
     Frame pixels decode through the baseline-JPEG codec, which is
     independently oracled by the image fixtures (stored-pHash checks) and
@@ -301,12 +303,43 @@ def _fx_video_frames(sf: str, sdir: str, out_dir: str) -> None:
         assert pos == mdat[1], "stsz sizes must exactly tile the mdat blob"
         return payloads, timescale / delta0
 
+    def mkv_payloads(data):
+        def vint(pos, keep):
+            first = data[pos]
+            n = 8 - first.bit_length() + 1
+            v = int.from_bytes(data[pos : pos + n], "big")
+            if not keep:
+                v &= (1 << (7 * n)) - 1
+            return v, pos + n
+
+        payloads = []
+        fps = None
+        stack = [(0, len(data))]
+        while stack:
+            pos, end = stack.pop()
+            while pos < end:
+                eid, p = vint(pos, True)
+                size, p = vint(p, False)
+                if eid in (0x18538067, 0x1654AE6B, 0xAE, 0x1F43B675):
+                    stack.append((p + size, end))
+                    pos, end = p, p + size
+                    continue
+                if eid == 0x23E383:
+                    fps = 1e9 / int.from_bytes(data[p : p + size], "big")
+                elif eid == 0xA3:
+                    _, bp = vint(p, False)
+                    payloads.append(data[bp + 3 : p + size])
+                pos = p + size
+        return payloads, round(fps, 6)
+
     vpath = synth_mod.ensure_video(sf, out_root=os.path.dirname(sdir))
     rows = []
     for r in pq.read_table(vpath).to_pylist():
         data = r["bytes"]
         if data[:4] == b"RIFF":
             payloads, fps = avi_payloads(data)
+        elif data[:4] == b"\x1a\x45\xdf\xa3":
+            payloads, fps = mkv_payloads(data)
         else:
             payloads, fps = mp4_payloads(data)
         assert len(payloads) == r["n_frames"] and fps is not None

@@ -5,9 +5,9 @@ Images/audio/video are opaque ``binary`` columns with typed metadata
 partitioning, Arrow batch shapes — with the engine's own codecs doing real
 decode for images (``raw``/``png``/``lossy``/``jpeg``/``tiff``/``cog``/
 ``webp`` VP8L, grayscale AND color), audio (RIFF/PCM16 WAV) and video
-(MJPEG in RIFF/AVI or ISO-BMFF/MP4, index-seek frame sampling); formats
-needing codec
-libraries absent from this runtime (mp3, mkv) are STUBBED behind a
+(MJPEG in RIFF/AVI, ISO-BMFF/MP4 or EBML/Matroska, index-seek frame
+sampling); the one format genuinely needing an external DSP codec (mp3)
+is STUBBED behind a
 clearly-marked NotImplementedError (the dispatch seam is where PIL/ffmpeg
 decoders would plug in).
 
@@ -32,7 +32,7 @@ from xcube_stac_spark import codecs
 #: wav is REAL now but routed through audio_features (its own table), not
 #: the image dispatch
 SUPPORTED = set(codecs.DECODERS)
-STUBBED = {"mp3", "mkv"}
+STUBBED = {"mp3"}
 
 
 def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
@@ -43,7 +43,7 @@ def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
             "fmt='wav' is audio, not an image — audio rows live in the "
             "audio table and decode through multimodal.audio_features"
         )
-    if fmt in ("avi", "mp4"):
+    if fmt in ("avi", "mp4", "mkv"):
         raise ValueError(
             f"fmt={fmt!r} is video, not an image — video rows live in the "
             "video table and decode through multimodal.frame_sample"
@@ -201,15 +201,15 @@ def audio_features(audio: DataFrame) -> DataFrame:
 
 def frame_sample(videos: DataFrame, n_frames: int = 4) -> DataFrame:
     """REAL video-frame sampling over the opaque video binary column —
-    MJPEG in either container (RIFF/AVI idx1 or ISO-BMFF/MP4 stsz+stco,
-    sniffed by magic): per clip, ``n_frames`` evenly-spaced source frames
+    MJPEG in any of the three containers (RIFF/AVI idx1, ISO-BMFF/MP4
+    stsz+stco, EBML/Matroska SimpleBlocks — sniffed by magic): per clip, ``n_frames`` evenly-spaced source frames
     are picked from the container index and ONLY those JPEG payloads are
     decoded — O(k) per clip regardless of clip
     length, the at-scale contract of a 10^12-row corpus sampler. Output is
     the exploded per-frame row shape: (video_id, frame_idx 0..k-1,
     src_frame, t_sec = src/fps, luma mean/std). Arrow-batched mapInPandas;
     container metadata (n_frames, fps) is verified against the stream.
-    Formats needing external codecs (mp3/mkv) still raise at the dispatch
+    The one format needing an external codec (mp3) still raises at the dispatch
     seam (`STUBBED`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -596,7 +596,7 @@ def ensure_audio(sf: str, out_root: str | None = None) -> str:
 #: like AUDIO_VERSION: the video table is generated lazily beside an
 #: existing synth dir with its own marker, so it never invalidates the
 #: scene/image payloads or the scaling-history data_version
-VIDEO_VERSION = 2  # v2: clips alternate AVI / MP4 containers
+VIDEO_VERSION = 3  # v3: clips rotate AVI / MP4 / MKV containers
 VIDEO_W, VIDEO_H = 64, 48
 
 
@@ -631,9 +631,9 @@ def ensure_video(sf: str, out_root: str | None = None) -> str:
     """Deterministic video table (the video modality of the multimodal
     brief): MJPEG clips as opaque binary + typed metadata (video_id,
     bytes, fps, n_frames, w, h, caption). Grayscale and 4:2:0 color clips
-    alternate so both JPEG paths flow, and the CONTAINER alternates
-    between RIFF/AVI and ISO-BMFF/MP4 so both index-seek paths are in the
-    corpus (the reader sniffs by magic)."""
+    alternate so both JPEG paths flow, and the CONTAINER rotates
+    over RIFF/AVI, ISO-BMFF/MP4 and EBML/Matroska so every index-seek
+    path is in the corpus (the reader sniffs by magic)."""
     p = PARAMS[sf]
     out_dir = os.path.join(out_root or SYNTH_ROOT, sf)
     marker = os.path.join(out_dir, "_VIDEO_SUCCESS")
@@ -647,7 +647,11 @@ def ensure_video(sf: str, out_root: str | None = None) -> str:
     for i in range(4 * p.days):
         frames = video_clip_frames(i)
         fps = 4 + i % 5
-        enc = codecs.encode_avi_mjpeg if (i // 2) % 2 == 0 else codecs.encode_mp4_mjpeg
+        enc = (
+            codecs.encode_avi_mjpeg,
+            codecs.encode_mp4_mjpeg,
+            codecs.encode_mkv_mjpeg,
+        )[(i // 2) % 3]
         rows.append(
             dict(
                 video_id=f"VID{i:04d}",
