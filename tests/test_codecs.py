@@ -619,6 +619,7 @@ def test_container_parsers_raise_only_valueerror_on_corruption():
         "wav": (codecs.decode_wav, codecs.encode_wav(np.zeros(100, np.int16), 4000)),
         "nc": (codecs.decode_netcdf3, codecs.encode_netcdf3({"a": np.zeros((3, 4), np.float32)})),
         "mkv": (codecs.parse_mkv, codecs.encode_mkv_mjpeg([frame(i) for i in range(3)], fps=5)),
+        "aiff": (codecs.decode_aiff, codecs.encode_aiff(np.zeros(100, np.int16), 4000)),
     }
     for name, (parse, data) in samples.items():
         for trial in range(300):
@@ -671,3 +672,34 @@ def test_mkv_mjpeg_container_roundtrip_and_seek():
     assert d.shape == (3, 48, 64) and codecs.psnr(cframes[2], d) >= 40
     with pytest.raises(ValueError):
         codecs.parse_mkv(b"nope")
+
+
+def test_aiff_roundtrip_and_stdlib_cross_check():
+    """FORM/AIFF PCM16 mono: exact roundtrip (incl. the 80-bit extended
+    sample-rate field at common rates), byte-level agreement with the
+    stdlib aifc parser, and sniff dispatch next to WAV."""
+    import io
+    import warnings
+
+    rng = np.random.default_rng(2)
+    for n, sr in [(100, 4000), (1, 8000), (5555, 44100)]:
+        s = rng.integers(-32768, 32768, n).astype(np.int16)
+        data = codecs.encode_aiff(s, sr)
+        r2, s2 = codecs.decode_aiff(data)
+        assert r2 == sr
+        np.testing.assert_array_equal(s2, s)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import aifc
+            with aifc.open(io.BytesIO(data)) as a:
+                assert a.getframerate() == sr
+                np.testing.assert_array_equal(
+                    np.frombuffer(a.readframes(a.getnframes()), ">i2").astype("<i2"),
+                    s,
+                )
+    wav = codecs.encode_wav(s, sr)
+    assert codecs.sniff_audio(wav) == "wav" and codecs.sniff_audio(data) == "aiff"
+    np.testing.assert_array_equal(codecs.decode_audio(data)[1], s)
+    # f80 edge values round-trip
+    for x in (1.0, 4000.0, 44100.0, 96000.0, 0.0):
+        assert codecs._f80_decode(codecs._f80_encode(x)) == x

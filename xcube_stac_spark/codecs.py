@@ -1313,6 +1313,106 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# AIFF — IFF FORM/AIFF PCM16 mono (the SECOND audio container next to WAV:
+# big-endian samples, COMM sample rate as an 80-bit IEEE extended float —
+# the only exotic field, implemented exactly). Pure struct, stdlib-free.
+# ---------------------------------------------------------------------------
+
+
+def _f80_encode(x: float) -> bytes:
+    """IEEE 754 80-bit extended big-endian (AIFF COMM sampleRate field)."""
+    import math
+
+    if x == 0:
+        return b"\x00" * 10
+    if x < 0:
+        raise ValueError("negative sample rate")
+    m, e = math.frexp(x)  # x = m * 2**e, m in [0.5, 1)
+    return struct.pack(">HQ", e + 16382, int(m * (1 << 64)))
+
+
+def _f80_decode(b: bytes) -> float:
+    exp, mant = struct.unpack(">HQ", b[:10])
+    if exp == 0 and mant == 0:
+        return 0.0
+    sign = -1.0 if exp & 0x8000 else 1.0
+    return sign * mant * 2.0 ** ((exp & 0x7FFF) - 16383 - 63)
+
+
+def encode_aiff(samples: np.ndarray, sample_rate: int) -> bytes:
+    """FORM/AIFF with COMM (mono, 16-bit, f80 rate) + SSND (big-endian)."""
+    pcm = np.ascontiguousarray(samples, dtype=">i2").tobytes()
+    comm = struct.pack(">HIH", 1, len(pcm) // 2, 16) + _f80_encode(float(sample_rate))
+    ssnd = struct.pack(">II", 0, 0) + pcm
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd + (b"\x00" * (len(ssnd) & 1))
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_aiff(data: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, int16 samples) from a PCM16 mono AIFF; chunk-walks so
+    extra chunks are tolerated. ValueError on truncation/corruption."""
+    try:
+        return _decode_aiff(data)
+    except struct.error as e:
+        raise ValueError(f"truncated or corrupt AIFF stream: {e}") from e
+
+
+def _decode_aiff(data: bytes) -> tuple[int, np.ndarray]:
+    if data[:4] != b"FORM" or data[8:12] != b"AIFF":
+        raise ValueError("not a FORM/AIFF stream")
+    pos = 12
+    rate = None
+    n_frames = None
+    pcm = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated AIFF chunk")
+        if tag == b"COMM":
+            if size < 18:
+                raise ValueError("malformed AIFF COMM chunk")
+            channels, n_frames, bits = struct.unpack(">HIH", body[:8])
+            rate_f = _f80_decode(body[8:18])
+            if channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported AIFF (ch={channels} bits={bits}); PCM16 mono only"
+                )
+            if rate_f <= 0 or rate_f != round(rate_f):
+                raise ValueError(f"unsupported AIFF sample rate {rate_f}")
+            rate = int(round(rate_f))
+        elif tag == b"SSND":
+            if size < 8:
+                raise ValueError("malformed AIFF SSND chunk")
+            offset, _block = struct.unpack(">II", body[:8])
+            pcm = body[8 + offset :]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or pcm is None or n_frames is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    if len(pcm) < 2 * n_frames:
+        raise ValueError("AIFF SSND shorter than COMM numSampleFrames")
+    return rate, np.frombuffer(pcm[: 2 * n_frames], dtype=">i2").astype("<i2")
+
+
+def sniff_audio(data: bytes) -> str:
+    """'wav' | 'aiff' by magic — the container dispatch for audio rows."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    if data[:4] == b"FORM" and data[8:12] == b"AIFF":
+        return "aiff"
+    raise ValueError("unknown audio container (RIFF/WAVE or FORM/AIFF expected)")
+
+
+def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
+    return decode_wav(data) if sniff_audio(data) == "wav" else decode_aiff(data)
+
+
+# ---------------------------------------------------------------------------
 # AVI — RIFF MJPEG (the video modality's container). Same length-prefixed
 # chunk family as WAV above; frames are the engine's OWN baseline JPEG
 # streams (grayscale or 4:2:0 color), so the whole modality stays

@@ -709,23 +709,37 @@ def _fx_ann_ivf(sf: str, out_dir: str) -> None:
 
 
 def _fx_audio_features(sf: str, sdir: str, out_dir: str) -> None:
-    """Independent mirror of multimodal.audio_features: the WAV container
-    is parsed with the STDLIB ``wave`` module (not codecs.decode_wav), so
-    container parsing itself is cross-checked, then the identical feature
-    math (duration, RMS, peak, zero-crossing rate)."""
+    """Independent mirror of multimodal.audio_features: the containers are
+    parsed with the STDLIB modules (``wave`` for RIFF/WAV, ``aifc`` for
+    FORM/AIFF — not the engine's codecs), so container parsing itself is
+    cross-checked, then the identical feature math (duration, RMS, peak,
+    zero-crossing rate)."""
     import io
+    import warnings
     import wave
 
     from xcube_stac_spark import synth as synth_mod
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import aifc
 
     apath = synth_mod.ensure_audio(sf, out_root=os.path.dirname(sdir))
     t = pq.read_table(apath)
     rows = []
     for r in t.to_pylist():
-        with wave.open(io.BytesIO(r["bytes"])) as w:
-            assert w.getnchannels() == 1 and w.getsampwidth() == 2
-            sr = w.getframerate()
-            samples = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        if r["bytes"][:4] == b"RIFF":
+            with wave.open(io.BytesIO(r["bytes"])) as w:
+                assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                sr = w.getframerate()
+                samples = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        else:
+            with aifc.open(io.BytesIO(r["bytes"])) as a:
+                assert a.getnchannels() == 1 and a.getsampwidth() == 2
+                sr = a.getframerate()
+                samples = np.frombuffer(
+                    a.readframes(a.getnframes()), dtype=">i2"
+                ).astype("<i2")
         x = samples.astype(np.float64)
         rows.append(
             {

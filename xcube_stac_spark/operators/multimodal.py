@@ -4,7 +4,7 @@ Images/audio/video are opaque ``binary`` columns with typed metadata
 (the mandated images-table shape). Real Spark plumbing — schemas,
 partitioning, Arrow batch shapes — with the engine's own codecs doing real
 decode for images (``raw``/``png``/``lossy``/``jpeg``/``tiff``/``cog``/
-``webp`` VP8L, grayscale AND color), audio (RIFF/PCM16 WAV) and video
+``webp`` VP8L, grayscale AND color), audio (PCM16 in RIFF/WAV or FORM/AIFF) and video
 (MJPEG in RIFF/AVI, ISO-BMFF/MP4 or EBML/Matroska, index-seek frame
 sampling); the one format genuinely needing an external DSP codec (mp3)
 is STUBBED behind a
@@ -170,9 +170,10 @@ AUDIO_SCHEMA = T.StructType(
 
 
 def audio_features(audio: DataFrame) -> DataFrame:
-    """Audio decode + feature extraction over the opaque WAV binary column
-    (the audio arm of the multimodal brief): real RIFF/PCM16 parse
-    (codecs.decode_wav), then duration, RMS amplitude, absolute peak and
+    """Audio decode + feature extraction over the opaque audio binary
+    column (the audio arm of the multimodal brief): real PCM16 parse of
+    either container (RIFF/WAV or FORM/AIFF, sniffed by magic —
+    codecs.decode_audio), then duration, RMS amplitude, absolute peak and
     zero-crossing rate per clip — the standard audio-quality filters of a
     training-data pipeline. Arrow-batched mapInPandas; metadata columns
     (sr, n_samples) are verified against the decoded stream."""
@@ -181,7 +182,7 @@ def audio_features(audio: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k.name: [] for k in AUDIO_SCHEMA.fields}
             for r in pdf.itertuples(index=False):
-                sr, samples = codecs.decode_wav(bytes(r.bytes))
+                sr, samples = codecs.decode_audio(bytes(r.bytes))
                 x = samples.astype(np.float64)
                 out["audio_id"].append(r.audio_id)
                 out["sr"].append(sr)
