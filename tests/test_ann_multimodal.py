@@ -440,15 +440,15 @@ def test_ivf_layout_probe_prunes_partitions_and_matches_ivf(spark, tmp_path):
 
 def test_rgb_rows_decode_channel_major_and_verify(spark):
     """RGB multimodal rows rotate over every color-capable container
-    (png/tiff/cog lossless, jpeg 4:2:0 lossy), all channel-major (3,h,w):
-    lossless rows keep luminance-pHash hamming 0, jpeg rows stay close;
-    thumbnails carry 3 channels."""
+    (png/tiff/cog lossless, jpeg 4:2:0 lossy, webp VP8L 8-bit-mapped), all
+    channel-major (3,h,w): lossless rows keep luminance-pHash hamming 0,
+    jpeg/webp rows stay close; thumbnails carry 3 channels."""
     sdir = synth.generate("sf0.001")
     cat = SceneCatalog(spark, sdir)
     rgb = cat.images().where(F.col("image_id").startswith("RGB"))
-    rows = rgb.orderBy("image_id").limit(4).collect()
+    rows = rgb.orderBy("image_id").limit(5).collect()
     assert rows, "synth corpus must include RGB rows"
-    assert {r.fmt for r in rows} == {"png", "tiff", "cog", "jpeg"}
+    assert {r.fmt for r in rows} == {"png", "tiff", "cog", "jpeg", "webp"}
     decoded = codecs.decode(bytes(rows[0].bytes), rows[0].fmt, rows[0].w, rows[0].h)
     assert decoded.ndim == 3 and decoded.shape[0] == 3
     stats = mm_op.image_stats(rgb).collect()

@@ -620,6 +620,10 @@ def test_container_parsers_raise_only_valueerror_on_corruption():
         "nc": (codecs.decode_netcdf3, codecs.encode_netcdf3({"a": np.zeros((3, 4), np.float32)})),
         "mkv": (codecs.parse_mkv, codecs.encode_mkv_mjpeg([frame(i) for i in range(3)], fps=5)),
         "aiff": (codecs.decode_aiff, codecs.encode_aiff(np.zeros(100, np.int16), 4000)),
+        # decode_jpeg is reachable through every video container's frame
+        # slices (corrupt offsets hand it arbitrary byte ranges), so it is
+        # bound to the same contract — incl. SOS-before-SOF (ADVICE r5)
+        "jpeg": (codecs.decode_jpeg, codecs.encode_jpeg(frame(0))),
     }
     for name, (parse, data) in samples.items():
         for trial in range(300):

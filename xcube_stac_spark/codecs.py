@@ -555,9 +555,13 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
         # any number of 0xFF fill bytes may precede a marker (T.81 B.1.1.2)
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG (stream ends at a marker byte)")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG marker segment")
         (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         payload = data[pos + 4 : pos + 2 + length]
         pos += 2 + length
@@ -572,7 +576,11 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
                 qts[tq] = tab.reshape(8, 8)
                 p += 65
         elif marker == 0xC0:  # SOF0 baseline
+            if len(payload) < 6:
+                raise ValueError("truncated JPEG SOF header")
             prec, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
+            if len(payload) < 6 + 3 * ncomp:
+                raise ValueError("truncated JPEG SOF component list")
             if prec != 8 or ncomp not in (1, 3):
                 raise ValueError(
                     f"only 8-bit 1- or 3-component baseline supported "
@@ -597,11 +605,25 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
                 bits = list(payload[p + 1 : p + 17])
                 n = sum(bits)
                 vals = list(payload[p + 17 : p + 17 + n])
+                # a truncated/mangled DHT can promise more codes than it
+                # carries values, or overfill the canonical code space —
+                # both would IndexError deep in the LUT builder otherwise
+                if len(bits) < 16 or len(vals) < n:
+                    raise ValueError("truncated JPEG DHT segment")
+                code = 0
+                for length in range(1, 17):
+                    code = (code + bits[length - 1]) << 1
+                    if code > (1 << (length + 1)):
+                        raise ValueError("JPEG DHT code lengths overfull")
                 (dc_tabs if tc == 0 else ac_tabs)[th] = (tuple(bits), tuple(vals))
                 p += 17 + n
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS — entropy data follows until EOI
+            if not comps:
+                raise ValueError("JPEG SOS marker before SOF (no frame header)")
+            if not payload or len(payload) < 1 + 2 * payload[0]:
+                raise ValueError("truncated JPEG SOS header")
             ns = payload[0]
             scan_tabs = {
                 payload[1 + 2 * i]: (
@@ -610,6 +632,14 @@ def decode_jpeg(data: bytes, w: int | None = None, h: int | None = None) -> np.n
                 )
                 for i in range(ns)
             }  # component id -> (dc table, ac table)
+            if any(cid not in scan_tabs for cid, _, _ in comps):
+                raise ValueError("JPEG SOS component ids do not match SOF")
+            for cid, _, qi in comps:
+                dci, aci = scan_tabs[cid]
+                if dci not in dc_tabs or aci not in ac_tabs:
+                    raise ValueError("JPEG scan references undefined DHT table")
+                if qi not in qts:
+                    raise ValueError("JPEG frame references undefined DQT table")
             comp_dc, comp_ac = scan_tabs[comps[0][0]]
             end = data.rfind(b"\xff\xd9")
             scan = data[pos : end if end > pos else len(data)]
@@ -1555,6 +1585,11 @@ def _parse_avi(data: bytes) -> dict:
         pos = body_start + size + (size & 1)
     if movi_kind_pos is None or n_frames is None:
         raise ValueError("AVI missing movi list or avih header")
+    if fps is None:
+        # a mangled/missing strh would otherwise surface later as a
+        # TypeError in frame_sample's float(meta['fps']) — keep the
+        # corrupt-row failure mode uniformly ValueError
+        raise ValueError("AVI missing vids strh header (no frame rate)")
     if idx_entries is not None:
         # idx1 offsets point at the 00dc chunk HEADER relative to the
         # 'movi' fourcc; payload starts 8 bytes past the header

@@ -378,15 +378,28 @@ def _write_cube_fused(
             .option("basePath", path)
             .parquet(*day_paths)
         )
-        # legacy-path files lack the precomputed data_bytes column; if the
-        # merged schema doesn't carry it (pure-legacy day dirs), fall back
-        # to measuring the payload column — correctness over pruning in
-        # that edge case, the fused-written common case never reads planes
-        byte_col = (
-            F.col("data_bytes")
-            if "data_bytes" in rb0.columns
-            else F.octet_length("data")
-        )
+        # legacy-path files lack the precomputed data_bytes column. Three
+        # cases: pure-legacy day dirs (column absent from the merged schema
+        # entirely) -> measure the payload column; pure-fused (column
+        # present, no NULLs) -> read only the metric column, planes never
+        # touched; MIXED dirs (transition era: fused files appended beside
+        # pre-change files) -> mergeSchema yields NULL data_bytes for the
+        # legacy rows, so a plain sum would silently understate — coalesce
+        # onto octet_length(data) for exactly those rows. The mixed case is
+        # detected with a cheap probe that scans ONLY the data_bytes column
+        # (all other columns pruned), so the common pure-fused path keeps
+        # its planes-never-read property.
+        if "data_bytes" not in rb0.columns:
+            byte_col = F.octet_length("data").cast("long")
+        elif (
+            "data" in rb0.columns
+            and rb0.where(F.col("data_bytes").isNull()).limit(1).count() > 0
+        ):
+            byte_col = F.coalesce(
+                F.col("data_bytes"), F.octet_length("data").cast("long")
+            )
+        else:
+            byte_col = F.col("data_bytes")
         rb = (
             rb0.select(
                 F.to_date(F.col("solar_day").cast("string")).alias("solar_day"),

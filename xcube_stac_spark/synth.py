@@ -82,7 +82,7 @@ _FMTS = ("raw", "png", "lossy")
 
 #: bump to force regeneration of already-materialized synth dirs when the
 #: generated content changes (checked against the _SUCCESS marker)
-SYNTH_VERSION = 8  # v7: RGB multimodal rows; v8: RGB rows rotate containers
+SYNTH_VERSION = 9  # v8: RGB rows rotate containers; v9: webp joins the RGB rotation
 #                    (png/tiff/cog/jpeg) so color flows through every codec
 
 ANGLE_GRID_N = 23  # native angle-grid size (reference sen2.py:1031-1032)
@@ -440,7 +440,7 @@ def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
     # show a small, nonzero hamming — same convention as the spectral mix).
     rh, rw = max(32, p.h // 2), max(32, p.w // 2)
     yy, xx = np.mgrid[0:rh, 0:rw]
-    _rgb_fmts = ("png", "tiff", "cog", "jpeg")
+    _rgb_fmts = ("png", "tiff", "cog", "jpeg", "webp")
     for i in range(4 * p.days):
         rng = np.random.default_rng(900_000 + i)
         chans = []
@@ -452,7 +452,7 @@ def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
             )
             chans.append(np.clip(plane, 0.0, 65535.0))
         rgb = np.stack(chans).astype(np.uint16)
-        fmt = _rgb_fmts[i % 4]
+        fmt = _rgb_fmts[i % len(_rgb_fmts)]
         images.append(
             dict(
                 image_id=f"RGB{i:04d}",
