@@ -561,6 +561,70 @@ def test_band_and_ivf_layout_append(spark, tmp_path):
     assert C_inc  # meta survived the append
 
 
+def test_band_and_ivf_layout_compact(spark, tmp_path):
+    """Generational compaction for the ANN layouts (mirrors
+    compact_scene_layout): folding an append-accumulated layout into a new
+    generation keeps the probe row-identical, never rewrites the source
+    generation's files (atomic switch-by-path, no in-place rewrite), does
+    not lose the codebook/hyperplane meta, reduces (or holds) the per-
+    partition file count, and preserves the append manifest for audit."""
+    import glob
+    import json
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    extra = emb.where(F.col("vec_id") % 5 == 0)
+    queries = (
+        emb.where(F.col("vec_id").isin([0, 1, 2]))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    k = lambda df: {(r.query_id, r.vec_id, r.cos_sim, r.rank) for r in df.collect()}
+
+    band_p, band_g2 = str(tmp_path / "band"), str(tmp_path / "band_gen2")
+    ann_op.write_band_layout(base, band_p, bands=4, bits=8)
+    ann_op.append_band_layout(extra, band_p)
+    want_band = k(ann_op.probe_band_layout(spark, band_p, queries, k=5))
+    src_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(band_p, "band=*", "key=*", "*.parquet"))
+    }
+    ann_op.compact_band_layout(spark, band_p, band_g2)
+    for f, m in src_files.items():
+        assert os.path.getmtime(f) == m, f"compaction rewrote source file {f}"
+    assert k(ann_op.probe_band_layout(spark, band_g2, queries, k=5)) == want_band
+    assert ann_op.read_band_layout_meta(band_g2) == ann_op.read_band_layout_meta(band_p)
+    assert os.path.exists(os.path.join(band_g2, "_appends_compacted.jsonl"))
+    # per-partition file count shrinks back to one file set
+    def max_files(root, pat):
+        dirs = glob.glob(os.path.join(root, pat))
+        return max((len(glob.glob(os.path.join(d, "*.parquet"))) for d in dirs), default=0)
+
+    assert max_files(band_g2, "band=*/key=*") <= max_files(band_p, "band=*/key=*")
+
+    ivf_p, ivf_g2 = str(tmp_path / "ivf"), str(tmp_path / "ivf_gen2")
+    ann_op.write_ivf_layout(base, ivf_p, n_clusters=8)
+    ann_op.append_ivf_layout(extra, ivf_p)
+    want_ivf = k(ann_op.probe_ivf_layout(spark, ivf_p, queries, k=5, nprobe=8))
+    src_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(ivf_p, "cluster=*", "*.parquet"))
+    }
+    ann_op.compact_ivf_layout(spark, ivf_p, ivf_g2)
+    for f, m in src_files.items():
+        assert os.path.getmtime(f) == m, f"compaction rewrote source file {f}"
+    assert k(ann_op.probe_ivf_layout(spark, ivf_g2, queries, k=5, nprobe=8)) == want_ivf
+    with open(os.path.join(ivf_p, "_ivf_meta.json")) as f:
+        m_src = json.load(f)
+    with open(os.path.join(ivf_g2, "_ivf_meta.json")) as f:
+        m_dst = json.load(f)
+    assert m_src == m_dst  # codebook carried over verbatim, no retrain
+    assert os.path.exists(os.path.join(ivf_g2, "_appends_compacted.jsonl"))
+    assert max_files(ivf_g2, "cluster=*") <= max_files(ivf_p, "cluster=*")
+
+
 def test_scene_layout_append_and_compact(spark, tmp_path):
     """Incremental spatial layout: base + appended later days == full
     rebuild under the probe; old partition files untouched; compaction

@@ -417,6 +417,37 @@ def append_ivf_layout(embeddings_new: DataFrame, path: str) -> None:
         f.write(json.dumps({"rows": embeddings_new.count()}) + "\n")
 
 
+def compact_ivf_layout(spark, src: str, dst: str) -> None:
+    """Fold an append-accumulated IVF layout into a fresh GENERATION at
+    ``dst`` (one file set per cluster partition again, instead of one file
+    set per append batch): one read + one cluster-keyed shuffle + one
+    write, no driver-side per-partition work and NO retrain — the codebook
+    is carried over verbatim, so a probe over the new generation is
+    row-identical to a probe over the old one. Serving switches atomically
+    by path (the generational pattern object stores need, mirroring
+    ``compact_scene_layout``); the source generation's files are never
+    touched, only superseded. The source's append manifest is preserved at
+    the new generation as ``_appends_compacted.jsonl`` for audit."""
+    import json
+    import os
+    import shutil
+
+    with open(os.path.join(src, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    (
+        spark.read.parquet(src)
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(dst)
+    )
+    with open(os.path.join(dst, "_ivf_meta.json"), "w") as f:
+        json.dump(meta, f)
+    leftover = os.path.join(src, "_appends.jsonl")
+    if os.path.exists(leftover):
+        shutil.copy(leftover, os.path.join(dst, "_appends_compacted.jsonl"))
+
+
 def probe_ivf_layout(
     spark, path: str, queries: DataFrame, k: int = 10, nprobe: int = IVF_NPROBE
 ) -> DataFrame:
@@ -553,6 +584,32 @@ def append_band_layout(embeddings_new: DataFrame, path: str) -> None:
     )
     with open(os.path.join(path, "_appends.jsonl"), "a") as f:
         f.write(json.dumps({"rows": embeddings_new.count()}) + "\n")
+
+
+def compact_band_layout(spark, src: str, dst: str) -> None:
+    """Fold an append-accumulated LSH band layout into a fresh generation
+    at ``dst``: one read + one (band, key)-keyed shuffle + one write. The
+    hyperplane family is deterministic in (bands, bits, dim), so the meta
+    carries over verbatim and probes over the new generation are
+    row-identical. Same atomic-by-path generational pattern as
+    ``compact_ivf_layout`` / ``compact_scene_layout``."""
+    import json
+    import os
+    import shutil
+
+    meta = read_band_layout_meta(src)
+    (
+        spark.read.parquet(src)
+        .repartition("band", "key")
+        .write.mode("overwrite")
+        .partitionBy("band", "key")
+        .parquet(dst)
+    )
+    with open(os.path.join(dst, "_lsh_meta.json"), "w") as f:
+        json.dump(meta, f)
+    leftover = os.path.join(src, "_appends.jsonl")
+    if os.path.exists(leftover):
+        shutil.copy(leftover, os.path.join(dst, "_appends_compacted.jsonl"))
 
 
 def read_band_layout_meta(path: str) -> dict:
