@@ -145,6 +145,31 @@ def main() -> int:
             [r"\bNOSUCHTOKEN\b"],
         ))
 
+    # 9. pack_sequences: the packing shuffle is keyed on the deterministic
+    # shard and moves ONLY (doc_id, tokens) metadata — document content is
+    # projected away before the exchange, and the scan itself prunes to the
+    # two needed columns (doc_id + text), so the stage's bytes are
+    # O(16 B/doc) regardless of corpus size
+    pack = text_op.pack_sequences(
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet"),
+        seq_len=256, shards=8,
+    )
+    p9 = plan_of(pack)
+    checks.append((
+        "text.pack_sequences (shard-keyed metadata-only packing shuffle)",
+        p9,
+        [
+            r"FlatMapGroupsInPandas",
+            r"hashpartitioning\(shard#\d+",
+            r"ReadSchema: [^\n]*doc_id[^\n]*text",
+        ],
+    ))
+    if re.search(r"hashpartitioning\([^)]*text#", p9):
+        checks.append((
+            "pack_sequences must not shuffle document content", p9,
+            [r"\bNOSUCHTOKEN\b"],
+        ))
+
     failures = []
     lines = [
         "# Physical-plan audit (generated by BENCH/capture_plans.py)\n",

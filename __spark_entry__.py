@@ -325,6 +325,46 @@ def _q_fingerprint(spark, sf_dir):
     return text_op.fingerprint(_docs(spark, sf_dir))
 
 
+PACK_SEQ_LEN, PACK_SHARDS = 256, 8
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """FFD sequence packing (text.py pack_sequences) as an invariant audit:
+    ONE row whose every value the DuckDB oracle predicts independently from
+    the base table — conservation (total packed tokens == sum of per-doc
+    truncated budgets), multiplicity (each doc in exactly one sequence),
+    capacity (no sequence over seq_len), and the FFD fill guarantee (at
+    most one under-half-full bin per shard, so n_seqs <=
+    floor(total/(L/2)) + shards). A packing that breaks any invariant
+    hash-mismatches the oracle."""
+    L, shards = PACK_SEQ_LEN, PACK_SHARDS
+    packed = text_op.pack_sequences(_docs(spark, sf_dir), seq_len=L, shards=shards)
+    seq = packed.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count("*").alias("n_seqs"),
+        F.sum(F.when(F.col("n_tokens") > L, 1).otherwise(0))
+        .cast("long")
+        .alias("over_capacity_seqs"),
+    )
+    docs = (
+        packed.select(F.explode("doc_ids").alias("doc_id"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_doc_rows"),
+        )
+    )
+    return seq.crossJoin(docs).select(
+        "n_docs",
+        (F.col("n_doc_rows") == F.col("n_docs")).alias("each_doc_once"),
+        "total_tokens",
+        "over_capacity_seqs",
+        (
+            F.col("n_seqs")
+            <= F.floor(F.col("total_tokens") / F.lit(L / 2.0)) + F.lit(shards)
+        ).alias("fill_bound_ok"),
+    )
+
+
 ANN_QUERY_IDS = (0, 1, 2)
 ANN_K = 10
 ANN_MASK_DIMS = 8  # planted near-dup = copy with first 8 dims zeroed
@@ -767,7 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collections_stats": _q_collections_stats,
         "cube_build": _q_cube_build,
         "tpch_q1": _q_tpch_q1,
-        "tpch_q3ish": _q_tpch_q3ish,
+        "pack_sequences": _q_pack_sequences,
         "data_ids": _q_data_ids,
         "distinct_formats": _q_distinct_formats,
         "events_daily": _q_events_daily,
@@ -1219,6 +1259,18 @@ SELECT doc_id, n_tokens,
         + (stop / greatest(n_tokens, 1)) * 0.4
         + (1.0 - punct / greatest(n_chars, 1)) * 0.2, 6) AS quality
 FROM q
+"""
+    out["pack_sequences"] = r"""
+WITH tc AS (
+  SELECT least(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 256) AS tokens
+  FROM documents
+)
+SELECT count(*)::BIGINT AS n_docs,
+       true AS each_doc_once,
+       sum(tokens)::BIGINT AS total_tokens,
+       0::BIGINT AS over_capacity_seqs,
+       true AS fill_bound_ok
+FROM tc WHERE tokens > 0
 """
     out["token_counts"] = r"""
 SELECT doc_id,

@@ -49,9 +49,17 @@ def test_entry_smoke(spark):
     }
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+#: SQL-oracled queries retired from the 50-entry driver registry (the
+#: driver caps correctness rows at 50) but still pinned here every run,
+#: against the oracle text that stays in oracle_sql()
+RETIRED_SQL = {"tpch_q3ish": "_q_tpch_q3ish"}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(entry_mod.queries().keys()) + sorted(RETIRED_SQL)
+)
 def test_query_vs_oracle(spark, con, name):
-    q = entry_mod.queries()[name]
+    q = entry_mod.queries().get(name) or getattr(entry_mod, RETIRED_SQL[name])
     sdf = q(spark, SF_DIR)
     spdf = sdf.toPandas()
     assert len(spdf) > 0, f"{name} returned no rows"

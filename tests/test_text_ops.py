@@ -139,3 +139,60 @@ def test_ngram_oracle_parity_with_hot_grams(spark, tmp_path):
     # and the bound really fired: no pair exists purely through hot grams
     assert not any(a < 7000 and b < 7000 for a, b in zip(s.doc_a, s.doc_b))
     assert ((s.doc_a == 7001) & (s.doc_b == 7002)).any()
+
+
+def test_pack_sequences_invariants_and_determinism(spark):
+    """FFD sequence packing: every doc in exactly one sequence, token
+    conservation under the least(tokens, L) truncation rule, capacity
+    respected, the FFD fill guarantee (at most one under-half-full bin per
+    shard), and BIT-deterministic output independent of the input's
+    physical partitioning."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    L, shards = 128, 4
+    packed = text_op.pack_sequences(docs, seq_len=L, shards=shards)
+    rows = packed.collect()
+    assert rows
+    # capacity + self-consistency of each row
+    for r in rows:
+        assert r.n_tokens <= L, (r.seq_id, r.n_tokens)
+        assert r.n_docs == len(r.doc_ids)
+        assert abs(r.fill_ratio - round(r.n_tokens / L, 6)) < 1e-12
+    # multiplicity: every packed doc appears exactly once
+    all_ids = [d for r in rows for d in r.doc_ids]
+    assert len(all_ids) == len(set(all_ids))
+    # conservation vs the truncated per-doc budgets
+    tc = {
+        r.doc_id: min(r.bpe_tokens, L)
+        for r in text_op.token_counts(docs).collect()
+        if min(r.bpe_tokens, L) > 0
+    }
+    assert set(all_ids) == set(tc)
+    assert sum(r.n_tokens for r in rows) == sum(tc.values())
+    by_seq = {r.seq_id: r for r in rows}
+    assert sum(tc[d] for d in by_seq[rows[0].seq_id].doc_ids) == rows[0].n_tokens
+    # FFD guarantee: within a shard at most one bin is under half full
+    from collections import Counter
+
+    under_half = Counter()
+    for r in rows:
+        if r.n_tokens < L / 2:
+            under_half[r.seq_id >> 40] += 1
+    assert all(v <= 1 for v in under_half.values()), under_half
+    # determinism: different physical partitioning, identical packing
+    key = lambda rs: sorted((r.seq_id, tuple(r.doc_ids), r.n_tokens) for r in rs)
+    repacked = text_op.pack_sequences(docs.repartition(13), seq_len=L, shards=shards)
+    assert key(repacked.collect()) == key(rows)
+
+
+def test_pack_sequences_truncates_oversized_docs(spark):
+    """A doc longer than seq_len occupies exactly one full sequence."""
+    big = "word " * 500
+    docs = spark.createDataFrame(
+        [(1, big), (2, "short doc"), (3, "another short doc")],
+        "doc_id long, text string",
+    )
+    L = 64
+    rows = text_op.pack_sequences(docs, seq_len=L, shards=2).collect()
+    ids = {d: r for r in rows for d in r.doc_ids}
+    assert ids[1].n_tokens == L and ids[1].doc_ids == [1]
+    assert all(r.n_tokens <= L for r in rows)

@@ -440,6 +440,90 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 512,
+    shards: int = 64,
+) -> DataFrame:
+    """Pack tokenized documents into fixed-length training sequences by
+    deterministic greedy first-fit-decreasing (FFD) — the classic
+    packed-pretraining-batch builder. Returns one row per sequence:
+    ``(seq_id, doc_ids, n_docs, n_tokens, fill_ratio)``.
+
+    Semantics (pinned by test + driver oracle):
+      - token budget per doc = ``least(bpe_tokens, seq_len)`` (oversized
+        docs are truncated to one full sequence, the standard pretraining
+        rule); zero-token docs are dropped;
+      - every surviving doc lands in EXACTLY one sequence (conservation:
+        ``sum(n_tokens)`` over sequences == sum of per-doc budgets);
+      - no sequence exceeds ``seq_len``;
+      - fully deterministic at fixed ``(seq_len, shards)``: docs shard by
+        ``xxhash64(doc_id) mod shards`` (independent of input
+        partitioning/parallelism), each shard packs its docs in
+        ``(-tokens, doc_id)`` order, and ``seq_id = shard * 2^40 +
+        local_index``.
+
+    Scale design: the packing decisions see ONLY ``(doc_id, token_count)``
+    pairs — document content never enters the shuffle, so the stage moves
+    ~16 bytes/doc regardless of corpus bytes. The per-shard FFD runs in one
+    bounded ``applyInPandas`` group; pick ``shards`` so n_docs/shards fits
+    comfortably in a task (10^6 id+count pairs ≈ tens of MB). Sharded FFD
+    is FFD per shard — the fill-ratio loss vs global FFD is the tail bin of
+    each shard, ≤ shards/n_seqs of capacity, negligible at corpus scale.
+    """
+    id_dt = docs.schema["doc_id"].dataType.simpleString()
+    tc = (
+        token_counts(docs)
+        .select(
+            "doc_id",
+            F.least(F.col("bpe_tokens"), F.lit(seq_len)).cast("int").alias("tokens"),
+        )
+        .where(F.col("tokens") > 0)
+        .withColumn(
+            "shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(shards)).cast("int")
+        )
+    )
+    out_schema = (
+        f"seq_id bigint, doc_ids array<{id_dt}>, n_docs int, "
+        "n_tokens int, fill_ratio double"
+    )
+
+    def _pack(pdf):
+        import pandas as pd
+
+        shard = int(pdf["shard"].iloc[0])
+        items = sorted(
+            zip(pdf["doc_id"].tolist(), pdf["tokens"].tolist()),
+            key=lambda it: (-it[1], it[0]),
+        )
+        bins: list[list] = []  # [tokens_used, [doc_ids]]
+        for doc_id, tok in items:
+            placed = False
+            for b in bins:
+                if b[0] + tok <= seq_len:
+                    b[0] += tok
+                    b[1].append(doc_id)
+                    placed = True
+                    break
+            if not placed:
+                bins.append([tok, [doc_id]])
+        return pd.DataFrame(
+            {
+                "seq_id": [(shard << 40) + i for i in range(len(bins))],
+                "doc_ids": [b[1] for b in bins],
+                "n_docs": [len(b[1]) for b in bins],
+                "n_tokens": [b[0] for b in bins],
+                "fill_ratio": [round(b[0] / seq_len, 6) for b in bins],
+            }
+        )
+
+    return (
+        tc.repartition(shards, "shard")
+        .groupBy("shard")
+        .applyInPandas(_pack, out_schema)
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Normalized-content digest: lowercase, strip non-alphanumerics to
     single spaces, trim, md5 — robust to whitespace/punct-only edits."""
