@@ -620,6 +620,9 @@ def test_container_parsers_raise_only_valueerror_on_corruption():
         "nc": (codecs.decode_netcdf3, codecs.encode_netcdf3({"a": np.zeros((3, 4), np.float32)})),
         "mkv": (codecs.parse_mkv, codecs.encode_mkv_mjpeg([frame(i) for i in range(3)], fps=5)),
         "aiff": (codecs.decode_aiff, codecs.encode_aiff(np.zeros(100, np.int16), 4000)),
+        "flac": (codecs.decode_flac, codecs.encode_flac(
+            np.clip(np.round(9000 * np.sin(np.arange(600) / 9.0)), -32768, 32767).astype(np.int16), 4000
+        )),
         # decode_jpeg is reachable through every video container's frame
         # slices (corrupt offsets hand it arbitrary byte ranges), so it is
         # bound to the same contract — incl. SOS-before-SOF (ADVICE r5)
@@ -707,3 +710,47 @@ def test_aiff_roundtrip_and_stdlib_cross_check():
     # f80 edge values round-trip
     for x in (1.0, 4000.0, 44100.0, 96000.0, 0.0):
         assert codecs._f80_decode(codecs._f80_encode(x)) == x
+
+
+def test_flac_roundtrip_crc_and_subset_rejection():
+    """FLAC mono/16-bit subset: bit-exact lossless roundtrip across block
+    boundaries and signal shapes, all three in-band integrity oracles fire
+    on corruption (header CRC-8, frame CRC-16, STREAMINFO MD5), and
+    out-of-subset features (stereo channel assignment) are rejected with
+    ValueError rather than mis-decoded."""
+    rng = np.random.default_rng(3)
+    for n, sr in [(1, 4000), (4096, 44100), (4097, 8000), (9999, 4000)]:
+        t = np.arange(n) / sr
+        sig = 0.6 * np.sin(2 * np.pi * 180 * t) + 0.05 * rng.standard_normal(n)
+        s = np.clip(np.round(sig * 9000), -32768, 32767).astype(np.int16)
+        data = codecs.encode_flac(s, sr)
+        r2, s2 = codecs.decode_flac(data)
+        assert r2 == sr
+        np.testing.assert_array_equal(s2, s)
+    # constant + extreme-value blocks
+    for s in [np.zeros(5000, np.int16), np.full(123, -32768, np.int16),
+              np.array([32767, -32768] * 2048, np.int16)]:
+        np.testing.assert_array_equal(codecs.decode_flac(codecs.encode_flac(s, 4000))[1], s)
+    # compression is real on tonal content (not a raw container)
+    t = np.arange(20000) / 8000
+    tone = np.clip(np.round(9000 * np.sin(2 * np.pi * 200 * t)), -32768, 32767).astype(np.int16)
+    enc = codecs.encode_flac(tone, 8000)
+    assert len(enc) < 0.9 * 2 * len(tone)
+    # CRC / MD5 integrity: flipping any of a spread of bytes must raise
+    m = bytearray(enc)
+    for off in (5, 30, len(m) // 2, len(m) - 3):
+        m2 = bytearray(m)
+        m2[off] ^= 0x40
+        with pytest.raises(ValueError):
+            codecs.decode_flac(bytes(m2))
+    # stereo channel assignment (out of subset) -> ValueError, not garbage
+    # (patch the STREAMINFO channels-1 field: byte 4+4+10 of the block,
+    # bits ...rrrrrccc b: channels bits sit at bit offset 100 of STREAMINFO)
+    si_off = 8  # fLaC + block header
+    b = bytearray(enc)
+    b[si_off + 12] |= 0x02  # channels-1: 0 -> 1 (20-bit sr ends mid-byte 12)
+    with pytest.raises(ValueError):
+        codecs.decode_flac(bytes(b))
+    # dispatch
+    assert codecs.sniff_audio(enc) == "flac"
+    np.testing.assert_array_equal(codecs.decode_audio(enc)[1], tone)

@@ -1430,16 +1430,434 @@ def _decode_aiff(data: bytes) -> tuple[int, np.ndarray]:
 
 
 def sniff_audio(data: bytes) -> str:
-    """'wav' | 'aiff' by magic — the container dispatch for audio rows."""
+    """'wav' | 'aiff' | 'flac' by magic — the container dispatch for audio
+    rows."""
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     if data[:4] == b"FORM" and data[8:12] == b"AIFF":
         return "aiff"
-    raise ValueError("unknown audio container (RIFF/WAVE or FORM/AIFF expected)")
+    if data[:4] == b"fLaC":
+        return "flac"
+    raise ValueError(
+        "unknown audio container (RIFF/WAVE, FORM/AIFF or fLaC expected)"
+    )
 
 
 def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
-    return decode_wav(data) if sniff_audio(data) == "wav" else decode_aiff(data)
+    kind = sniff_audio(data)
+    if kind == "wav":
+        return decode_wav(data)
+    if kind == "aiff":
+        return decode_aiff(data)
+    return decode_flac(data)
+
+
+# ---------------------------------------------------------------------------
+# FLAC — free lossless audio codec (mono PCM16 subset), the COMPRESSED
+# audio container next to the raw-PCM WAV/AIFF pair. Unlike MPEG audio
+# (whose decoder needs normative spec-table data — 32 Huffman tables, the
+# 512-tap synthesis window — that cannot be re-derived algorithmically),
+# FLAC is fully algorithmic: fixed-order linear prediction + Rice-coded
+# residuals + well-known CRC polynomials, so a conforming subset can be
+# built and self-oracled from first principles. The encoder emits
+# fixed-predictor subframes only (orders 0-4, chosen per frame) with
+# single-partition Rice residuals; the decoder parses the full frame
+# structure and explicitly rejects the unimplemented subset (LPC
+# subframes, stereo, wasted bits) with ValueError. Three in-band
+# integrity oracles: CRC-8 over each frame header, CRC-16 over each whole
+# frame, and the STREAMINFO MD5 of the decoded signal.
+# Reference format-dispatch analogue: constants.py:76-98 (the reference
+# has no audio path at all).
+# ---------------------------------------------------------------------------
+
+FLAC_BLOCK = 4096
+
+_CRC8_TAB = []
+for _b in range(256):
+    _c = _b
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07) & 0xFF if _c & 0x80 else (_c << 1) & 0xFF
+    _CRC8_TAB.append(_c)
+
+_CRC16_TAB = []
+for _b in range(256):
+    _c = _b << 8
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x8005) & 0xFFFF if _c & 0x8000 else (_c << 1) & 0xFFFF
+    _CRC16_TAB.append(_c)
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _CRC8_TAB[c ^ b]
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _CRC16_TAB[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+class _MSBWriter:
+    """MSB-first bit writer (no byte stuffing — that's a JPEG-ism)."""
+
+    def __init__(self):
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.out.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def put_signed(self, v: int, length: int):
+        self.put(v & ((1 << length) - 1), length)
+
+    def align(self):
+        if self.nbits:
+            self.put(0, 8 - self.nbits)
+
+
+def _utf8_number(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number (frame index, up to 36 bits)."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, lead_bits in ((2, 11), (3, 16), (4, 21), (5, 26), (6, 31), (7, 36)):
+        if n < (1 << lead_bits):
+            cont = [0x80 | ((n >> (6 * i)) & 0x3F) for i in range(nbytes - 2, -1, -1)]
+            lead_mask = (0xFF << (8 - nbytes)) & 0xFF
+            lead = lead_mask | (n >> (6 * (nbytes - 1)))
+            return bytes([lead] + cont)
+    raise ValueError("frame number exceeds 36 bits")
+
+
+def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
+    return np.diff(x, n=order) if order else x.copy()
+
+
+def _best_rice_k(u: np.ndarray) -> tuple[int, int]:
+    """(k, bits) minimizing the single-partition Rice size."""
+    best_k, best_bits = 0, None
+    for k in range(15):
+        bits = int(np.sum(u >> k)) + len(u) * (k + 1)
+        if best_bits is None or bits < best_bits:
+            best_k, best_bits = k, bits
+    return best_k, best_bits
+
+
+def encode_flac(pcm: np.ndarray, rate: int) -> bytes:
+    """PCM16 mono -> FLAC: STREAMINFO (with the real MD5 signature) +
+    fixed-blocksize frames, each a constant or best-fixed-order subframe
+    with one Rice partition (escape to raw when Rice loses)."""
+    import hashlib
+
+    pcm = np.asarray(pcm)
+    if pcm.dtype != np.int16 or pcm.ndim != 1:
+        raise ValueError("encode_flac expects 1-D int16 samples")
+    if not (1 <= rate < (1 << 20)):
+        raise ValueError(f"sample rate {rate} outside FLAC's 20-bit field")
+    n = len(pcm)
+    md5 = hashlib.md5(pcm.astype("<i2").tobytes()).digest()
+
+    si = _MSBWriter()
+    si.put(FLAC_BLOCK, 16)  # min blocksize
+    si.put(FLAC_BLOCK, 16)  # max blocksize
+    si.put(0, 24)  # min framesize unknown
+    si.put(0, 24)  # max framesize unknown
+    si.put(rate, 20)
+    si.put(0, 3)  # channels - 1
+    si.put(15, 5)  # bits per sample - 1
+    si.put(n, 36)
+    streaminfo = bytes(si.out) + md5
+    out = bytearray(b"fLaC")
+    out += bytes([0x80, 0, 0, len(streaminfo)])  # last-block | STREAMINFO
+    out += streaminfo
+
+    x64 = pcm.astype(np.int64)
+    for fi, start in enumerate(range(0, max(n, 1), FLAC_BLOCK)):
+        blk = x64[start : start + FLAC_BLOCK]
+        bs = len(blk)
+        if bs == 0:
+            break
+        hdr = _MSBWriter()
+        hdr.put(0b11111111111110, 14)  # sync
+        hdr.put(0, 1)  # reserved
+        hdr.put(0, 1)  # fixed-blocksize stream
+        hdr.put(0b0111, 4)  # blocksize: 16-bit value-1 follows
+        hdr.put(0b0000, 4)  # sample rate: from STREAMINFO
+        hdr.put(0b0000, 4)  # channel assignment: mono
+        hdr.put(0b100, 3)  # sample size: 16 bit
+        hdr.put(0, 1)  # reserved
+        header = bytes(hdr.out) + _utf8_number(fi) + struct.pack(">H", bs - 1)
+        frame = _MSBWriter()
+        frame.out += header
+        frame.out.append(_crc8(header))
+
+        if np.all(blk == blk[0]):
+            frame.put(0, 1)
+            frame.put(0b000000, 6)  # constant
+            frame.put(0, 1)  # no wasted bits
+            frame.put_signed(int(blk[0]), 16)
+        else:
+            best = None
+            for order in range(0, min(5, bs)):
+                resid = _fixed_residual(blk, order)
+                u = (resid << 1) ^ (resid >> 63)  # zigzag
+                k, bits = _best_rice_k(u.astype(np.uint64))
+                if best is None or bits < best[3]:
+                    best = (order, resid, k, bits)
+            order, resid, k, rice_bits = best
+            frame.put(0, 1)
+            frame.put(0b001000 | order, 6)  # fixed, order
+            frame.put(0, 1)  # no wasted bits
+            for w in blk[:order]:
+                frame.put_signed(int(w), 16)
+            u = ((resid << 1) ^ (resid >> 63)).astype(np.uint64)
+            raw_nb = max(1, int(np.max(np.abs(resid))).bit_length() + 1)
+            if rice_bits > 5 + len(u) * raw_nb:
+                # escape: raw two's-complement residuals
+                frame.put(0b00, 2)  # Rice method (escape lives inside)
+                frame.put(0, 4)  # partition order 0
+                frame.put(0b1111, 4)  # escape code
+                frame.put(raw_nb, 5)
+                for v in resid:
+                    frame.put_signed(int(v), raw_nb)
+            else:
+                frame.put(0b00, 2)
+                frame.put(0, 4)
+                frame.put(k, 4)
+                for uv in u.tolist():
+                    q = uv >> k
+                    frame.put(0, q) if q else None
+                    frame.put(1, 1)
+                    if k:
+                        frame.put(uv & ((1 << k) - 1), k)
+        frame.align()
+        body = bytes(frame.out)
+        out += body + struct.pack(">H", _crc16(body))
+    return bytes(out)
+
+
+class _FlacReader:
+    """MSB-first bit reader with O(1) unary runs (precomputed 1-bit
+    positions) and 16-bit windowed peeks (same vectorized trick as the
+    JPEG entropy reader)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        by = np.frombuffer(data, np.uint8).astype(np.uint32)
+        by = np.concatenate([by, np.zeros(4, np.uint32)])
+        val24 = (by[:-2] << 16) | (by[1:-1] << 8) | by[2:]
+        self.next16 = (
+            (val24[:, None] >> (8 - np.arange(8, dtype=np.uint32))[None, :]) & 0xFFFF
+        ).reshape(-1)
+        bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.ones = np.flatnonzero(bits)
+        self.nbits = 8 * len(data)
+        self.pos = 0
+
+    def bits(self, k: int) -> int:
+        if self.pos + k > self.nbits:
+            raise ValueError("truncated FLAC stream")
+        v = 0
+        p, rem = self.pos, k
+        while rem > 16:
+            v = (v << 16) | int(self.next16[p])
+            p += 16
+            rem -= 16
+        if rem:
+            v = (v << rem) | (int(self.next16[p]) >> (16 - rem))
+            p += rem
+        self.pos = p
+        return v
+
+    def signed(self, k: int) -> int:
+        v = self.bits(k)
+        return v - (1 << k) if v >= (1 << (k - 1)) else v
+
+    def unary(self) -> int:
+        i = int(np.searchsorted(self.ones, self.pos))
+        if i >= len(self.ones):
+            raise ValueError("truncated FLAC stream (unary run past end)")
+        one_pos = int(self.ones[i])
+        q = one_pos - self.pos
+        self.pos = one_pos + 1
+        return q
+
+    def align(self):
+        self.pos = (self.pos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        if self.pos & 7:
+            raise ValueError("FLAC reader misaligned at a byte boundary")
+        return self.pos >> 3
+
+
+def _flac_utf8_read(r: "_FlacReader") -> int:
+    lead = r.bits(8)
+    if lead < 0x80:
+        return lead
+    nbytes = 0
+    for nb in range(2, 8):
+        mask = (0xFF << (8 - nb)) & 0xFF
+        if (lead & ~((1 << (7 - nb)) - 1)) & 0xFF == mask:
+            nbytes = nb
+            break
+    if not nbytes:
+        raise ValueError("bad FLAC UTF-8 coded number lead byte")
+    n = lead & ((1 << (7 - nbytes)) - 1)
+    for _ in range(nbytes - 1):
+        c = r.bits(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("bad FLAC UTF-8 continuation byte")
+        n = (n << 6) | (c & 0x3F)
+    return n
+
+
+def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, int16 samples) from the mono/16-bit FLAC subset.
+    Verifies all three in-band integrity fields (frame-header CRC-8,
+    frame CRC-16, STREAMINFO MD5) and rejects out-of-subset features
+    (stereo, LPC subframes, wasted bits) with ValueError."""
+    import hashlib
+
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated FLAC metadata")
+        head = data[pos]
+        size = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + size]
+        if len(body) < size:
+            raise ValueError("truncated FLAC metadata block")
+        if head & 0x7F == 0:
+            if size != 34:
+                raise ValueError("bad FLAC STREAMINFO size")
+            streaminfo = body
+        pos += 4 + size
+        if head & 0x80:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    si = _FlacReader(streaminfo)
+    si.bits(16)  # min blocksize
+    si.bits(16)  # max blocksize
+    si.bits(24)
+    si.bits(24)
+    rate = si.bits(20)
+    if si.bits(3) != 0:
+        raise ValueError("stereo FLAC not supported (mono subset)")
+    if si.bits(5) != 15:
+        raise ValueError("only 16-bit FLAC supported")
+    total = si.bits(36)
+    md5_expect = streaminfo[18:34]
+    if rate == 0:
+        raise ValueError("bad FLAC sample rate")
+
+    r = _FlacReader(data)
+    r.pos = pos * 8
+    out = []
+    got = 0
+    while got < total:
+        frame_start = r.byte_pos()
+        if r.bits(14) != 0b11111111111110:
+            raise ValueError("bad FLAC frame sync")
+        r.bits(1)  # reserved
+        r.bits(1)  # blocking strategy
+        bs_code = r.bits(4)
+        sr_code = r.bits(4)
+        chan = r.bits(4)
+        if chan != 0:
+            raise ValueError("stereo FLAC frame not supported (mono subset)")
+        if r.bits(3) != 0b100:
+            raise ValueError("only 16-bit FLAC frames supported")
+        r.bits(1)  # reserved
+        _flac_utf8_read(r)
+        if bs_code == 0b0110:
+            bs = r.bits(8) + 1
+        elif bs_code == 0b0111:
+            bs = r.bits(16) + 1
+        elif bs_code == 0:
+            raise ValueError("reserved FLAC blocksize code")
+        else:
+            raise ValueError("FLAC blocksize code outside encoder subset")
+        if sr_code != 0:
+            raise ValueError("explicit FLAC frame sample rate not in subset")
+        hdr_end = r.byte_pos()
+        if _crc8(data[frame_start:hdr_end]) != r.bits(8):
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+
+        if r.bits(1) != 0:
+            raise ValueError("bad FLAC subframe padding bit")
+        st = r.bits(6)
+        if r.bits(1) != 0:
+            raise ValueError("FLAC wasted-bits not supported in this subset")
+        if st == 0:  # constant
+            blk = np.full(bs, r.signed(16), np.int64)
+        elif st == 1:  # verbatim
+            blk = np.array([r.signed(16) for _ in range(bs)], np.int64)
+        elif 0b001000 <= st <= 0b001100:  # fixed order 0-4
+            order = st & 0x07
+            warm = np.array([r.signed(16) for _ in range(order)], np.int64)
+            if r.bits(2) != 0:
+                raise ValueError("FLAC RICE2 residual not in subset")
+            part_order = r.bits(4)
+            nres = bs - order
+            resid = np.empty(nres, np.int64)
+            filled = 0
+            for pi in range(1 << part_order):
+                cnt = (bs >> part_order) - (order if pi == 0 else 0)
+                if cnt < 0:
+                    raise ValueError("FLAC partition smaller than order")
+                k = r.bits(4)
+                if k == 0b1111:
+                    nb = r.bits(5)
+                    if nb == 0:
+                        vals = [0] * cnt
+                    else:
+                        vals = [r.signed(nb) for _ in range(cnt)]
+                else:
+                    vals = []
+                    for _ in range(cnt):
+                        q = r.unary()
+                        u = (q << k) | (r.bits(k) if k else 0)
+                        vals.append((u >> 1) ^ -(u & 1))  # un-zigzag
+                resid[filled : filled + cnt] = vals
+                filled += cnt
+            vals = resid
+            for j in range(order - 1, -1, -1):
+                init = int(np.diff(warm, n=j)[0]) if j else int(warm[0])
+                vals = np.cumsum(np.concatenate([[init], vals]))
+            blk = vals
+        elif st >= 0b100000:
+            raise ValueError("FLAC LPC subframe not supported (fixed subset)")
+        else:
+            raise ValueError(f"reserved FLAC subframe type {st:#08b}")
+        r.align()
+        crc_pos = r.byte_pos()
+        if _crc16(data[frame_start:crc_pos]) != r.bits(16):
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        if np.any(blk < -32768) or np.any(blk > 32767):
+            raise ValueError("FLAC decoded sample out of int16 range")
+        out.append(blk.astype(np.int16))
+        got += bs
+    samples = (
+        np.concatenate(out) if out else np.zeros(0, np.int16)
+    )[:total]
+    if md5_expect != b"\x00" * 16:
+        if hashlib.md5(samples.astype("<i2").tobytes()).digest() != md5_expect:
+            raise ValueError("FLAC STREAMINFO MD5 mismatch (corrupt stream)")
+    return rate, samples
 
 
 # ---------------------------------------------------------------------------

@@ -708,11 +708,31 @@ def _fx_ann_ivf(sf: str, out_dir: str) -> None:
     _write(out_dir, "ann_ivf_topk", rows, _IVF_SCHEMA)
 
 
+def _audio_pcm(i: int, sr: int) -> np.ndarray:
+    """Ground-truth PCM of synth audio clip ``i`` — the exact generation
+    recipe of synth.ensure_audio, recomputed independently of any codec.
+    Used as the oracle signal for FLAC rows (no stdlib FLAC parser
+    exists): the engine's decode must reproduce this bit-exactly or the
+    fixture mismatches."""
+    rng = np.random.default_rng(700_000 + i)
+    n = int(sr * (0.5 + 1.5 * ((i * 37) % 16) / 15.0))
+    t = np.arange(n) / sr
+    f0 = 80.0 + 40.0 * (i % 11)
+    sig = (
+        0.55 * np.sin(2 * np.pi * f0 * t)
+        + 0.25 * np.sin(2 * np.pi * 2.7 * f0 * t + 0.3 * i)
+        + 0.1 * rng.standard_normal(n)
+    )
+    return np.clip(np.round(sig * 12000.0), -32768, 32767).astype(np.int16)
+
+
 def _fx_audio_features(sf: str, sdir: str, out_dir: str) -> None:
-    """Independent mirror of multimodal.audio_features: the containers are
-    parsed with the STDLIB modules (``wave`` for RIFF/WAV, ``aifc`` for
-    FORM/AIFF — not the engine's codecs), so container parsing itself is
-    cross-checked, then the identical feature math (duration, RMS, peak,
+    """Independent mirror of multimodal.audio_features: WAV/AIFF rows are
+    parsed with the STDLIB modules (``wave`` / ``aifc`` — not the engine's
+    codecs), so container parsing itself is cross-checked; FLAC rows (no
+    stdlib parser) use the recomputed GROUND-TRUTH signal (_audio_pcm), the
+    strongest oracle a lossless codec admits — any decode deviation
+    mismatches. Then the identical feature math (duration, RMS, peak,
     zero-crossing rate)."""
     import io
     import warnings
@@ -733,6 +753,10 @@ def _fx_audio_features(sf: str, sdir: str, out_dir: str) -> None:
                 assert w.getnchannels() == 1 and w.getsampwidth() == 2
                 sr = w.getframerate()
                 samples = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        elif r["bytes"][:4] == b"fLaC":
+            sr = int(r["sr"])
+            samples = _audio_pcm(int(r["audio_id"][3:]), sr)
+            assert len(samples) == int(r["n_samples"])
         else:
             with aifc.open(io.BytesIO(r["bytes"])) as a:
                 assert a.getnchannels() == 1 and a.getsampwidth() == 2

@@ -32,6 +32,17 @@ from xcube_stac_spark import codecs
 #: wav is REAL now but routed through audio_features (its own table), not
 #: the image dispatch
 SUPPORTED = set(codecs.DECODERS)
+#: mp3 is FORMALLY DESCOPED (round 6), not pending: a conforming MPEG-1
+#: Layer III decoder requires normative spec-table DATA (the 32 Huffman
+#: code tables, the 512-tap synthesis-window coefficients, bit-allocation
+#: tables) that cannot be re-derived algorithmically, and this runtime has
+#: no independent MPEG implementation (no lame/ffmpeg/stdlib support) to
+#: oracle one against — a plausibly-wrong decoder would be strictly worse
+#: than this explicit seam. The compressed-audio role is filled by FLAC
+#: (codecs.encode_flac/decode_flac), which IS fully algorithmic
+#: (fixed-order LPC + Rice + known CRC polynomials) and losslessly
+#: self-oracled. A real mp3 decoder drops in via codecs.DECODERS without
+#: touching any operator.
 STUBBED = {"mp3"}
 
 
@@ -172,8 +183,8 @@ AUDIO_SCHEMA = T.StructType(
 def audio_features(audio: DataFrame) -> DataFrame:
     """Audio decode + feature extraction over the opaque audio binary
     column (the audio arm of the multimodal brief): real PCM16 parse of
-    either container (RIFF/WAV or FORM/AIFF, sniffed by magic —
-    codecs.decode_audio), then duration, RMS amplitude, absolute peak and
+    any of the three containers (RIFF/WAV, FORM/AIFF, or FLAC — sniffed by
+    magic, codecs.decode_audio), then duration, RMS amplitude, absolute peak and
     zero-crossing rate per clip — the standard audio-quality filters of a
     training-data pipeline. Arrow-batched mapInPandas; metadata columns
     (sr, n_samples) are verified against the decoded stream."""

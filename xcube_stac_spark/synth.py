@@ -537,17 +537,18 @@ def generate(sf: str, out_root: str | None = None, force: bool = False) -> str:
 #: LAZILY beside an existing synth dir (its own marker), so adding/changing
 #: it never invalidates the scene/image payloads or the scaling-history
 #: data_version those records are keyed on
-AUDIO_VERSION = 2  # v2: clips alternate WAV / AIFF containers
+AUDIO_VERSION = 3  # v2: clips alternate WAV/AIFF; v3: FLAC joins the rotation
 AUDIO_SR = 4000
 
 
 def ensure_audio(sf: str, out_root: str | None = None) -> str:
     """Deterministic audio table (the audio modality of the multimodal
     brief): PCM16 clips as opaque binary + typed metadata (audio_id,
-    bytes, sr, n_samples, caption), alternating RIFF/WAV and FORM/AIFF
+    bytes, sr, n_samples, caption), rotating RIFF/WAV, FORM/AIFF and FLAC
     containers (the reader sniffs by magic). Sine mixtures + noise,
     seeded per clip; ~0.5-2 s at 4 kHz keeps the table tiny at every
-    sf."""
+    sf. The fixture oracle recomputes this exact recipe per clip
+    (fixtures._audio_pcm), so keep the two in lockstep."""
     p = PARAMS[sf]
     out_dir = os.path.join(out_root or SYNTH_ROOT, sf)
     marker = os.path.join(out_dir, "_AUDIO_SUCCESS")
@@ -574,9 +575,9 @@ def ensure_audio(sf: str, out_root: str | None = None) -> str:
         rows.append(
             dict(
                 audio_id=f"AUD{i:04d}",
-                bytes=(codecs.encode_wav if i % 2 == 0 else codecs.encode_aiff)(
-                    pcm, AUDIO_SR
-                ),
+                bytes=(codecs.encode_wav, codecs.encode_aiff, codecs.encode_flac)[
+                    i % 3
+                ](pcm, AUDIO_SR),
                 sr=np.int32(AUDIO_SR),
                 n_samples=np.int32(n),
                 caption=f"clip {i}: tone at {f0:.0f} Hz",
