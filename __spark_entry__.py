@@ -297,6 +297,15 @@ def _q_minhash_near_dup(spark, sf_dir):
     return text_op.minhash_near_dups(_aug_docs(spark, sf_dir), threshold=0.5)
 
 
+def _q_dedup_resolve(spark, sf_dir):
+    """Near-dup PAIR RESOLUTION: connected components over the minhash
+    near-dup pair graph (min-label propagation + pointer jumping), one
+    canonical doc per cluster. Oracle: DuckDB recursive-CTE transitive
+    closure over the SAME pair SQL — full row-hash parity."""
+    pairs = text_op.minhash_near_dups(_aug_docs(spark, sf_dir), threshold=0.5)
+    return text_op.resolve_components(pairs, "doc_a", "doc_b")
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     return text_op.ngram_jaccard_pairs(_aug_docs(spark, sf_dir), threshold=0.5)
 
@@ -806,7 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hemisphere_fix": _q_hemisphere_fix,
         "collections_stats": _q_collections_stats,
         "cube_build": _q_cube_build,
-        "tpch_q1": _q_tpch_q1,
+        "dedup_resolve": _q_dedup_resolve,
         "pack_sequences": _q_pack_sequences,
         "data_ids": _q_data_ids,
         "distinct_formats": _q_distinct_formats,
@@ -1172,6 +1181,36 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE round(i.n_common / (sa.n_grams + sb.n_grams - i.n_common), 6) >= 0.5
+"""
+    # dedup_resolve = transitive closure of the SAME minhash pair graph: a
+    # recursive CTE enumerates, per node, every reachable node; min(reachable)
+    # is the canonical id — the identical unique fixpoint the Spark min-label
+    # propagation (text.resolve_components) converges to, independent of
+    # iteration order
+    out["dedup_resolve"] = f"""
+WITH RECURSIVE {_AUG_CTE.strip()}, {_GRAMS_CTE.strip()}, {minhash_cand.strip()}, {_JACCARD_TAIL.strip()},
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE round(i.n_common / (sa.n_grams + sb.n_grams - i.n_common), 6) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(node, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n(u)
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.node = e.v
+),
+lab AS (SELECT node, min(lab) AS canonical_id FROM reach GROUP BY node)
+SELECT node AS doc_id, canonical_id,
+       count(*) OVER (PARTITION BY canonical_id) AS cluster_size,
+       node = canonical_id AS is_canonical
+FROM lab
 """
     # mirror of ngram_jaccard_pairs INCLUDING the default document-frequency
     # bound: pairing and n_common use only grams with df <= the bound, while

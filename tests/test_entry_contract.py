@@ -52,7 +52,7 @@ def test_entry_smoke(spark):
 #: SQL-oracled queries retired from the 50-entry driver registry (the
 #: driver caps correctness rows at 50) but still pinned here every run,
 #: against the oracle text that stays in oracle_sql()
-RETIRED_SQL = {"tpch_q3ish": "_q_tpch_q3ish"}
+RETIRED_SQL = {"tpch_q3ish": "_q_tpch_q3ish", "tpch_q1": "_q_tpch_q1"}
 
 
 @pytest.mark.parametrize(

@@ -196,3 +196,35 @@ def test_pack_sequences_truncates_oversized_docs(spark):
     ids = {d: r for r in rows for d in r.doc_ids}
     assert ids[1].n_tokens == L and ids[1].doc_ids == [1]
     assert all(r.n_tokens <= L for r in rows)
+
+
+def test_resolve_components_chain_and_singleton_pair(spark):
+    """A 9-node chain (diameter 8) plus a disjoint pair: pointer jumping must
+    converge well inside max_iter=5 (~log2 rounds), every node must label to
+    the component min, and cluster sizes / canonical flags must be exact."""
+    chain = [(i, i + 1) for i in range(10, 18)]  # 10-11-...-18
+    pairs = spark.createDataFrame(
+        chain + [(3, 7)], "doc_a long, doc_b long"
+    )
+    out = text_op.resolve_components(pairs, max_iter=5).collect()
+    lab = {r.doc_id: r for r in out}
+    assert set(lab) == set(range(10, 19)) | {3, 7}
+    assert all(lab[n].canonical_id == 10 for n in range(10, 19))
+    assert lab[3].canonical_id == 3 and lab[7].canonical_id == 3
+    assert all(lab[n].cluster_size == 9 for n in range(10, 19))
+    assert lab[3].cluster_size == 2
+    assert [n for n in lab if lab[n].is_canonical] == sorted(
+        {10, 3} & set(n for n in lab if lab[n].is_canonical) | {10, 3}
+    )
+
+
+def test_resolve_components_max_iter_warns(spark, caplog):
+    """Hitting max_iter before the fixpoint logs a warning (no silent
+    wrong answer at pathological diameters)."""
+    import logging as _logging
+
+    chain = [(i, i + 1) for i in range(0, 40)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with caplog.at_level(_logging.WARNING, logger="xcube_stac_spark.operators.text"):
+        text_op.resolve_components(pairs, max_iter=1).collect()
+    assert any("max_iter" in r.message for r in caplog.records)
