@@ -97,7 +97,7 @@ def run_bench() -> dict:
     qs = entry_mod.queries() if RUN_QUERIES else {}
     for name in [] if not RUN_QUERIES else [
         "scene_search", "dedup_latest", "cell_cover", "spatial_join_region",
-        "knn_tiles", "bbox_union", "lineage", "tpch_q1", "events_daily",
+        "knn_tiles", "bbox_union", "lineage", "dedup_resolve", "events_daily",
         "exact_dedup", "minhash_near_dup", "ngram_jaccard", "ann_topk",
         "ann_lsh_topk", "ann_ivf_topk", "embedding_clusters", "image_stats",
         "audio_features", "video_frames", "rectify_swath_nc",
