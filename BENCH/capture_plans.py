@@ -170,6 +170,41 @@ def main() -> int:
             [r"\bNOSUCHTOKEN\b"],
         ))
 
+    # 10. decontaminate: the eval-set gram table is BROADCAST — corpus
+    # grams are filtered map-side, never shuffled against the eval side
+    decon = entry_mod._q_decontaminate(spark, "/root/testdata/sf0.01")
+    p10 = plan_of(decon)
+    checks.append((
+        "text.decontaminate (broadcast eval grams, map-side corpus filter)",
+        p10,
+        [r"BroadcastHashJoin", r"ReadSchema: [^\n]*doc_id[^\n]*text"],
+    ))
+    if re.search(r"SortMergeJoin [^\n]*gram#", p10):
+        checks.append((
+            "decontaminate must not sort-merge corpus grams against evals",
+            p10,
+            [r"\bNOSUCHTOKEN\b"],
+        ))
+
+    # 11. stratified_sample: a pure narrow filter — NO Exchange anywhere,
+    # and the scan prunes the document content (text/n_chars) away
+    strat = entry_mod._q_stratified_sample(spark, "/root/testdata/sf0.01")
+    p11 = plan_of(strat)
+    checks.append((
+        "sampling.stratified_sample (zero-shuffle codegen filter)",
+        p11,
+        [r"Filter", r"\[codegen id : \d+\]"],
+    ))
+    if re.search(r"Exchange", p11):
+        checks.append((
+            "stratified_sample must not shuffle", p11, [r"\bNOSUCHTOKEN\b"],
+        ))
+    if re.search(r"ReadSchema: [^\n]*text", p11):
+        checks.append((
+            "stratified_sample scan must prune document content", p11,
+            [r"\bNOSUCHTOKEN\b"],
+        ))
+
     failures = []
     lines = [
         "# Physical-plan audit (generated by BENCH/capture_plans.py)\n",

@@ -29,6 +29,7 @@ from xcube_stac_spark import synth
 from xcube_stac_spark.operators import ann as ann_op
 from xcube_stac_spark.operators import events as events_op
 from xcube_stac_spark.operators import multimodal as mm_op
+from xcube_stac_spark.operators import sampling as sampling_op
 from xcube_stac_spark.operators import spatial
 from xcube_stac_spark.operators import text as text_op
 from xcube_stac_spark.plans import cube as cube_plan
@@ -304,6 +305,36 @@ def _q_dedup_resolve(spark, sf_dir):
     closure over the SAME pair SQL — full row-hash parity."""
     pairs = text_op.minhash_near_dups(_aug_docs(spark, sf_dir), threshold=0.5)
     return text_op.resolve_components(pairs, "doc_a", "doc_b")
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: the eval set is a deterministic slice of
+    the corpus itself (every 11th base doc contributes tokens 5..12 as a
+    synthetic benchmark item), so the operator must flag those source docs
+    AND their near/exact copies from the augmented corpus. Oracle: the
+    same gram join in DuckDB."""
+    docs = _aug_docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    evals = docs.where((F.col("doc_id") % 11 == 3) & (F.col("doc_id") < 100000)).select(
+        (F.col("doc_id") + 500000).alias("eval_id"),
+        F.concat_ws(" ", F.slice(toks, 5, 8)).alias("text"),
+    )
+    return text_op.decontaminate(docs, evals, ngram=3)
+
+
+#: mixture-rebalance rates for the stratified_sample query (per source;
+#: everything else at 0.6) — mirrored as exact integer thresholds in the SQL
+STRAT_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25}
+STRAT_DEFAULT = 0.6
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-threshold mixture rebalance over (source) strata
+    with Horvitz-Thompson weights — pure codegen filter, zero shuffle."""
+    docs = _docs(spark, sf_dir)
+    return sampling_op.stratified_sample(
+        docs, "source", STRAT_RATES, "doc_id", default_rate=STRAT_DEFAULT
+    ).select("doc_id", "lang", "source", "weight")
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -817,9 +848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_build": _q_cube_build,
         "dedup_resolve": _q_dedup_resolve,
         "pack_sequences": _q_pack_sequences,
-        "data_ids": _q_data_ids,
+        "decontaminate": _q_decontaminate,
         "distinct_formats": _q_distinct_formats,
-        "events_daily": _q_events_daily,
+        "stratified_sample": _q_stratified_sample,
         "exact_dedup": _q_exact_dedup,
         "minhash_near_dup": _q_minhash_near_dup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1033,6 +1064,23 @@ SELECT strftime(cast(ts AS date), '%Y-%m-%d') AS day, event_type,
        round(cast(sum(value::decimal(18,4)) AS double), 3) AS total_value
 FROM events GROUP BY 1, 2
 """
+    # stratified_sample: integer-threshold compare in hash space — the
+    # thresholds are the EXACT floor(rate*2^32) literals the Spark operator
+    # uses, so there is no float seam anywhere in the keep decision
+    _thr = sampling_op.rate_thresholds(STRAT_RATES)
+    _dthr = int(STRAT_DEFAULT * (1 << 32))
+    _thr_case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {t}" for s, t in _thr.items()
+    ) + f" ELSE {_dthr} END"
+    _rate_case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in STRAT_RATES.items()
+    ) + f" ELSE {STRAT_DEFAULT} END"
+    sqls["stratified_sample"] = f"""
+SELECT doc_id, lang, source, round(1.0 / ({_rate_case}), 6) AS weight
+FROM documents
+WHERE ('0x' || substr(md5('strat:' || cast(doc_id AS varchar)), 1, 8))::bigint
+      < ({_thr_case})
+"""
     sqls["mean_time_per_group"] = f"""
 WITH {_SEARCH_CTE.strip()}, {_SOLAR_CTE.strip()},
 n AS (
@@ -1211,6 +1259,31 @@ SELECT node AS doc_id, canonical_id,
        count(*) OVER (PARTITION BY canonical_id) AS cluster_size,
        node = canonical_id AS is_canonical
 FROM lab
+"""
+    # decontaminate: the eval set is a deterministic token slice of every
+    # 11th base doc; the check is a plain gram equi-join (broadcast on the
+    # Spark side — same rows either way)
+    out["decontaminate"] = f"""
+WITH {_AUG_CTE.strip()}, {_GRAMS_CTE.strip()},
+evals AS (
+  SELECT doc_id + 500000 AS eval_id,
+         array_to_string((string_split(text, ' '))[5:12], ' ') AS text
+  FROM aug WHERE doc_id % 11 = 3 AND doc_id < 100000
+),
+etoks AS (SELECT eval_id, string_split(text, ' ') AS t FROM evals),
+egrams AS (
+  SELECT DISTINCT eval_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM etoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+hits AS (
+  SELECT g.doc_id, e.eval_id, count(*) AS n_shared_grams
+  FROM grams g JOIN egrams e ON e.gram = g.gram
+  GROUP BY g.doc_id, e.eval_id
+)
+SELECT h.doc_id, h.eval_id, h.n_shared_grams,
+       round(h.n_shared_grams / s.n_grams, 6) AS contam_frac
+FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
 """
     # mirror of ngram_jaccard_pairs INCLUDING the default document-frequency
     # bound: pairing and n_common use only grams with df <= the bound, while

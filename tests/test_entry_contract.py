@@ -52,7 +52,12 @@ def test_entry_smoke(spark):
 #: SQL-oracled queries retired from the 50-entry driver registry (the
 #: driver caps correctness rows at 50) but still pinned here every run,
 #: against the oracle text that stays in oracle_sql()
-RETIRED_SQL = {"tpch_q3ish": "_q_tpch_q3ish", "tpch_q1": "_q_tpch_q1"}
+RETIRED_SQL = {
+    "tpch_q3ish": "_q_tpch_q3ish",
+    "tpch_q1": "_q_tpch_q1",
+    "events_daily": "_q_events_daily",
+    "data_ids": "_q_data_ids",
+}
 
 
 @pytest.mark.parametrize(

@@ -228,3 +228,51 @@ def test_resolve_components_max_iter_warns(spark, caplog):
     with caplog.at_level(_logging.WARNING, logger="xcube_stac_spark.operators.text"):
         text_op.resolve_components(pairs, max_iter=1).collect()
     assert any("max_iter" in r.message for r in caplog.records)
+
+
+def test_decontaminate_flags_planted_eval_and_copies(spark):
+    """Docs containing a planted benchmark string are flagged, including an
+    exact copy under a different id; clean docs are not; contam_frac is
+    shared/doc-gram-count."""
+    bench_str = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, "x y " + bench_str + " z w"),
+            (2, "totally unrelated words here none shared"),
+            (3, "x y " + bench_str + " z w"),  # exact copy of 1
+            (4, "alpha beta nothing else matches at all"),  # 2-gram only
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame([(900, bench_str)], "eval_id long, text string")
+    rows = {r.doc_id: r for r in text_op.decontaminate(docs, evals, ngram=3).collect()}
+    assert set(rows) == {1, 3}
+    # doc 1 has 6 distinct 3-grams, shares both grams of the 4-token string
+    assert rows[1].n_shared_grams == 2
+    assert abs(rows[1].contam_frac - 2 / 6) < 1e-6
+    assert rows[1].eval_id == 900
+
+
+def test_stratified_sample_deterministic_rates_and_weights(spark):
+    from xcube_stac_spark.operators import sampling as sampling_op
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4 == 0).cast("string").alias("stratum"),
+    )
+    rates = {"true": 0.25, "false": 0.75}
+    out = sampling_op.stratified_sample(df, "stratum", rates, "doc_id")
+    got = out.groupBy("stratum").count().collect()
+    by = {r.stratum: r['count'] for r in got}
+    # binomial(1000, .25) / binomial(3000, .75): generous 5-sigma bounds
+    assert 180 < by["true"] < 320 and 2130 < by["false"] < 2370, by
+    w = {r.stratum: r.weight for r in out.select("stratum", "weight").distinct().collect()}
+    assert w == {"true": 4.0, "false": round(1 / 0.75, 6)}
+    # determinism under repartitioning (df.sample would NOT survive this)
+    ids = lambda d: sorted(r.doc_id for r in d.select("doc_id").collect())
+    assert ids(out) == ids(
+        sampling_op.stratified_sample(df.repartition(17), "stratum", rates, "doc_id")
+    )
+    # default_rate=0 drops unmapped strata entirely
+    none = sampling_op.stratified_sample(df, "stratum", {"true": 0.5}, "doc_id")
+    assert none.where(F.col("stratum") == "false").count() == 0

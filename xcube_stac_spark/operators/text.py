@@ -316,6 +316,49 @@ def resolve_components(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    ngram: int = 3,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination — the eval-leakage filter every serious
+    training-data pipeline runs (the GPT-3/PaLM 13-gram check, here over
+    word n-grams): flag every training doc sharing at least one n-gram
+    with any doc of an evaluation set. ``eval_docs`` needs columns
+    ``(eval_id, text)``. Returns one row per contaminated (doc, eval doc)
+    pair: ``(doc_id, eval_id, n_shared_grams, contam_frac)`` where
+    ``contam_frac`` = shared / doc's distinct gram count — anti-join
+    ``doc_id`` against this to scrub the corpus.
+
+    Scale shape: the eval set is tiny next to a 100 TB corpus (thousands
+    of benchmark items vs billions of docs), so its distinct gram table is
+    BROADCAST — the corpus-side gram stream is filtered map-side with NO
+    shuffle of corpus grams at all; the only shuffle is the per-(doc,eval)
+    count over the (rare) surviving matches. Set ``broadcast=False`` only
+    if the eval gram table outgrows executor memory (then it's a plain
+    bucketed equi-join, still linear). Unlike the near-dup family there is
+    no candidate blow-up: fan-out is bounded by eval-set size."""
+    dg = _gram_rows(docs, ngram)
+    eg = _gram_rows(
+        eval_docs.select(F.col("eval_id").alias("doc_id"), "text"), ngram
+    ).select(F.col("doc_id").alias("eval_id"), "gram")
+    if broadcast:
+        eg = F.broadcast(eg)
+    sizes = dg.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        dg.join(eg, "gram")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "eval_id",
+        "n_shared_grams",
+        F.round(F.col("n_shared_grams") / F.col("n_grams"), 6).alias("contam_frac"),
+    )
+
+
 #: default document-frequency bound for ngram_jaccard_pairs: a gram shared by
 #: k docs emits k(k-1)/2 candidate pairs, so one hot shingle ("click here to")
 #: in 10^6 docs would alone produce 5*10^11 pairs — the bound caps per-gram
