@@ -398,3 +398,61 @@ def test_quality_gate_stream_matches_batch_filter(spark, sf0001_dir, tmp_path):
     # every good row survives (corpus rows are self-consistent: lossless
     # ham=0, lossy small)
     assert good_ids <= kept
+
+
+def test_exact_dedup_stream_suppresses_cross_batch_copies(spark, tmp_path):
+    """Streaming exact dedup: a text re-arriving in a LATER micro-batch
+    (new doc_id, same content) must be suppressed by the checkpointed
+    seen-set state; the surviving hash set equals the batch distinct over
+    the union of all arrivals."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from xcube_stac_spark.streaming import ingest as si
+
+    def tbl(rows):
+        return pa.Table.from_pylist(
+            [
+                {"doc_id": i, "text": t, "lang": "en", "source": "s",
+                 "n_chars": len(t)}
+                for i, t in rows
+            ],
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("text", pa.string()),
+                 ("lang", pa.string()), ("source", pa.string()),
+                 ("n_chars", pa.int64())]
+            ),
+        )
+
+    watch = tmp_path / "docs"
+    watch.mkdir()
+    b0 = [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")]  # in-batch dup
+    b1 = [(4, "ALPHA Beta"), (5, "epsilon zeta"), (6, "gamma delta")]  # cross-batch dups
+    pq2.write_table(tbl(b0), str(watch / "b0.parquet"))
+
+    sink = str(tmp_path / "uniq")
+
+    def run():
+        q = (
+            si.exact_dedup_stream(si.stream_documents(spark, str(watch)))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    pq2.write_table(tbl(b1), str(watch / "b1.parquet"))
+    run()
+
+    got = spark.read.parquet(sink).collect()
+    by_text = {}
+    for r in got:
+        assert r.text.lower() not in by_text, "duplicate text emitted"
+        by_text[r.text.lower()] = r.doc_id
+    assert set(by_text) == {"alpha beta", "gamma delta", "epsilon zeta"}
+    # first-arrival wins: batch-1 copies (ids 4, 6) never surface
+    assert by_text["alpha beta"] in (1, 3) and by_text["gamma delta"] == 2
+    assert by_text["epsilon zeta"] == 5

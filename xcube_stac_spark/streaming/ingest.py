@@ -145,6 +145,38 @@ def quality_gate_stream(
     ).select("image_id", "fmt", "mean", "std", "phash_hamming")
 
 
+DOCS_DDL = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def stream_documents(spark: SparkSession, watch_dir: str) -> DataFrame:
+    """File-source stream of newly-landed document rows (the documents
+    table shape; in production a Kafka/object-store notification stream)."""
+    return (
+        spark.readStream.schema(DOCS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch_dir)
+    )
+
+
+def exact_dedup_stream(doc_stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup — the ingest-time twin of ``text.exact_dedup``:
+    suppress every re-arrival of an already-seen text, across micro-batch
+    boundaries, emitting each distinct text's first-arrived row. Built on
+    Spark's native streaming ``dropDuplicates`` so the seen-set state lives
+    in the JVM state store (HDFS/RocksDB-backed, checkpointed, recovered on
+    restart) keyed on the 128-bit text hash — no Python in the loop and no
+    custom state code to get wrong.
+
+    Scale note: state is O(distinct texts) — at unbounded corpus lifetime a
+    production run bounds it with ``dropDuplicatesWithinWatermark`` (a
+    dedup horizon after which a re-arrival is accepted as new) or by
+    periodically compacting the seen-set into an at-rest table and
+    anti-joining arrivals against it; the operator itself is unchanged."""
+    return doc_stream.withColumn(
+        "text_hash", F.md5(F.lower(F.col("text")))
+    ).dropDuplicates(["text_hash"])
+
+
 REPROC_SCHEMA = "tile_id string, item_id string, old_version string, new_version string"
 REPROC_STATE = "max_version string"
 
