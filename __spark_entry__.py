@@ -307,6 +307,12 @@ def _q_dedup_resolve(spark, sf_dir):
     return text_op.resolve_components(pairs, "doc_a", "doc_b")
 
 
+def _q_repetition_metrics(spark, sf_dir):
+    """Gopher-style per-doc repetition filters (dup-word / top-word /
+    dup-ngram fractions) — zero-shuffle narrow metrics."""
+    return text_op.repetition_metrics(_docs(spark, sf_dir))
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: the eval set is a deterministic slice of
     the corpus itself (every 11th base doc contributes tokens 5..12 as a
@@ -849,7 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolve": _q_dedup_resolve,
         "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
-        "distinct_formats": _q_distinct_formats,
+        "repetition_metrics": _q_repetition_metrics,
         "stratified_sample": _q_stratified_sample,
         "exact_dedup": _q_exact_dedup,
         "minhash_near_dup": _q_minhash_near_dup,
@@ -1229,6 +1235,22 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE round(i.n_common / (sa.n_grams + sb.n_grams - i.n_common), 6) >= 0.5
+"""
+    out["repetition_metrics"] = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+ws AS (SELECT doc_id, sum(c) AS n_w, count(*) AS n_wd, max(c) AS top_c FROM wc GROUP BY doc_id),
+g AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+),
+gs AS (SELECT doc_id, count(*) AS n_g, count(DISTINCT gram) AS n_gd FROM g GROUP BY doc_id)
+SELECT ws.doc_id,
+       round(1 - ws.n_wd / ws.n_w, 6) AS dup_word_frac,
+       round(ws.top_c / ws.n_w, 6) AS top_word_frac,
+       coalesce(round(1 - gs.n_gd / gs.n_g, 6), 0.0) AS dup_ngram_frac
+FROM ws LEFT JOIN gs ON gs.doc_id = ws.doc_id
 """
     # dedup_resolve = transitive closure of the SAME minhash pair graph: a
     # recursive CTE enumerates, per node, every reachable node; min(reachable)

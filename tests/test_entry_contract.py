@@ -57,6 +57,7 @@ RETIRED_SQL = {
     "tpch_q1": "_q_tpch_q1",
     "events_daily": "_q_events_daily",
     "data_ids": "_q_data_ids",
+    "distinct_formats": "_q_distinct_formats",
 }
 
 

@@ -276,3 +276,23 @@ def test_stratified_sample_deterministic_rates_and_weights(spark):
     # default_rate=0 drops unmapped strata entirely
     none = sampling_op.stratified_sample(df, "stratum", {"true": 0.5}, "doc_id")
     assert none.where(F.col("stratum") == "false").count() == 0
+
+
+def test_repetition_metrics_flags_looping_text(spark):
+    """A degenerate looping doc scores high on every repetition axis; a
+    all-distinct doc scores zero; a short doc (< n tokens) gets
+    dup_ngram_frac 0 rather than null/divide-by-zero."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 19 + "spam"),          # 20x one word
+            (2, "a b c d e f g h i j"),           # all distinct
+            (3, "x y"),                            # too short for 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    m = {r.doc_id: r for r in text_op.repetition_metrics(docs).collect()}
+    assert m[1].dup_word_frac == 0.95 and m[1].top_word_frac == 1.0
+    assert m[1].dup_ngram_frac == round(1 - 1 / 18, 6)
+    assert m[2].dup_word_frac == 0.0 and m[2].top_word_frac == 0.1
+    assert m[2].dup_ngram_frac == 0.0
+    assert m[3].dup_ngram_frac == 0.0

@@ -316,6 +316,37 @@ def resolve_components(
     )
 
 
+def repetition_metrics(docs: DataFrame, ngram: int = 3) -> DataFrame:
+    """Per-document repetition metrics — the Gopher-style repetition
+    filters that catch degenerate/looping text which length- and
+    stopword-based quality scores miss: ``dup_word_frac`` (1 − distinct
+    words / words), ``top_word_frac`` (most frequent word's share), and
+    ``dup_ngram_frac`` (1 − distinct n-grams / n-grams). A pipeline drops
+    docs above thresholds (e.g. top_word_frac > 0.2, dup_ngram_frac > 0.3).
+
+    Pure narrow Column expressions over the per-row token array — no
+    shuffle, no UDF, whole-stage codegen; the top-word count is an
+    array_max over per-distinct-word filters (O(distinct·total) per row,
+    bounded by document length, never by corpus size)."""
+    toks = tokens_col(F.col("text"))
+    d = docs.select("doc_id", toks.alias("t"))
+    uniq = F.array_distinct(F.col("t"))
+    top_c = F.array_max(
+        F.transform(uniq, lambda w: F.size(F.filter(F.col("t"), lambda x: x == w)))
+    )
+    grams = ngrams_of_tokens(F.col("t"), ngram)
+    n_w, n_wd = F.size(F.col("t")), F.size(uniq)
+    n_g, n_gd = F.size(grams), F.size(F.array_distinct(grams))
+    return d.select(
+        "doc_id",
+        F.round(F.lit(1.0) - n_wd / n_w, 6).alias("dup_word_frac"),
+        F.round(top_c / n_w, 6).alias("top_word_frac"),
+        F.when(n_g > 0, F.round(F.lit(1.0) - n_gd / n_g, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_frac"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,
