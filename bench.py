@@ -102,7 +102,8 @@ def run_bench() -> dict:
         "ann_lsh_topk", "ann_ivf_topk", "embedding_clusters", "image_stats",
         "audio_features", "video_frames", "rectify_swath_nc",
         "layout_scene_search", "layout_append", "events_sessionize",
-        "pack_sequences",
+        "pack_sequences", "decontaminate", "stratified_sample",
+        "repetition_metrics",
     ]:
         q_runs = []
         for _ in range(REPEATS):
