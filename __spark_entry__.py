@@ -307,6 +307,12 @@ def _q_dedup_resolve(spark, sf_dir):
     return text_op.resolve_components(pairs, "doc_a", "doc_b")
 
 
+def _q_image_near_dup(spark, sf_dir):
+    """pHash near-dup pairs over the image table (exact-collapse + banded
+    LSH over distinct hashes); oracle = same banding in DuckDB SQL."""
+    return mm_op.image_near_dup(_cat(spark, sf_dir).images(), max_hamming=4)
+
+
 def _q_repetition_metrics(spark, sf_dir):
     """Gopher-style per-doc repetition filters (dup-word / top-word /
     dup-ngram fractions) — zero-shuffle narrow metrics."""
@@ -842,7 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scene_search": _q_scene_search,
         "scene_search_filtered": _q_scene_search_filtered,
-        "solar_day": _q_solar_day,
+        "image_near_dup": _q_image_near_dup,
         "dedup_latest": _q_dedup_latest,
         "cell_cover": _q_cell_cover,
         "spatial_join_region": _q_spatial_join_region,
@@ -1012,6 +1018,29 @@ counts AS (SELECT solar_day, tile_id, count(*) AS n FROM solar GROUP BY 1, 2)
 SELECT d.solar_day, t.tile_id, coalesce(c.n, 0) AS n_items
 FROM days d CROSS JOIN tiles t
 LEFT JOIN counts c ON c.solar_day = d.solar_day AND c.tile_id = t.tile_id
+"""
+    # image_near_dup: exact-collapse to distinct phash values, then the
+    # SAME 4x16-bit banding + hamming verify the Spark operator runs
+    sqls["image_near_dup"] = f"""
+WITH i AS (SELECT image_id, phash FROM read_parquet('{SYNTH_SF001}/images.parquet')),
+g AS (SELECT phash, min(image_id) AS rep, count(*) AS n_images FROM i GROUP BY phash),
+b AS (
+  SELECT phash, k AS band, (phash >> (16 * k)) & 65535 AS key
+  FROM g, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) s
+),
+cand AS (
+  SELECT DISTINCT a.phash AS pa, c.phash AS pb
+  FROM b a JOIN b c ON a.band = c.band AND a.key = c.key AND a.phash < c.phash
+),
+pairs AS (
+  SELECT pa, pb, bit_count(xor(pa, pb)) AS hamming FROM cand
+  WHERE bit_count(xor(pa, pb)) <= 4
+)
+SELECT ga.rep AS rep_a, gb.rep AS rep_b, p.hamming,
+       ga.n_images AS n_a, gb.n_images AS n_b
+FROM pairs p
+JOIN g ga ON ga.phash = p.pa
+JOIN g gb ON gb.phash = p.pb
 """
     sqls["caption_check"] = f"""
 WITH s AS (

@@ -696,3 +696,38 @@ def test_sq8_quantized_topk_recall_and_types(spark):
     pred = {(r.query_id, r.vec_id) for r in got}
     recall = len(pred & truth) / len(truth)
     assert recall >= 0.9, recall
+
+
+def test_image_near_dup_collapse_and_banding(spark):
+    """Exact-phash groups collapse to one representative before pairing
+    (a 3-image identical cluster yields NO intra-cluster pairs, one row
+    against a 2-bit-flipped variant); pairs beyond max_hamming are
+    dropped; a hamming-4 flip confined to one band is still found."""
+    from xcube_stac_spark.operators import multimodal as mm
+
+    base = 0x123456789ABCDEF0
+    rows = [
+        ("a1", base), ("a2", base), ("a3", base),      # identical cluster
+        ("b1", base ^ 0b11),                            # hamming 2, band 0
+        ("c1", base ^ 0xF),                             # hamming 4, band 0
+        ("d1", base ^ 0x1111),                          # hamming 4, band 0 (bits 0,4,8,12)
+        # hamming 4 spread across all 4 bands -> no colliding band, dropped
+        ("e1", (base ^ (1 << 63) ^ (1 << 1) ^ (1 << 17) ^ (1 << 33)) - (1 << 64)),
+        ("f1", base ^ 0x3F),                            # hamming 6 > max: verified out
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    out = mm.image_near_dup(df, max_hamming=4).collect()
+    pairs = {(r.rep_a, r.rep_b): r for r in out}
+    # representative of the identical cluster is min image_id, size 3
+    assert ("a1", "b1") in pairs or ("b1", "a1") in pairs
+    key = ("a1", "b1") if ("a1", "b1") in pairs else ("b1", "a1")
+    assert pairs[key].hamming == 2
+    assert {pairs[key].n_a, pairs[key].n_b} == {3, 1}
+    got = {frozenset(k) for k in pairs}
+    assert frozenset({"a1", "c1"}) in got and frozenset({"a1", "d1"}) in got
+    # all-bands spread (e1) has no colliding band with ANY variant
+    assert not any("e1" in k for k in got)
+    # hamming-6 vs the base cluster fails verify (f1 still pairs with the
+    # nearer variants c1/b1 — hamming 2/4 — which is correct)
+    assert frozenset({"a1", "f1"}) not in got
+    assert pairs[("c1", "f1") if ("c1", "f1") in pairs else ("f1", "c1")].hamming == 2

@@ -58,6 +58,7 @@ RETIRED_SQL = {
     "events_daily": "_q_events_daily",
     "data_ids": "_q_data_ids",
     "distinct_formats": "_q_distinct_formats",
+    "solar_day": "_q_solar_day",
 }
 
 

@@ -250,3 +250,71 @@ def frame_sample(videos: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return videos.select("video_id", "bytes", "n_frames").mapInPandas(run, FRAME_SCHEMA)
+
+
+def image_near_dup(images: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Perceptual-hash image near-duplicate pairs — the image-payload twin
+    of the text near-dup family, over the images table's precomputed
+    ``phash`` (int64 pHash; satellite tiles of the same scene/band pattern
+    collide heavily, so the corpus really does contain large duplicate
+    groups).
+
+    Two-stage scale design:
+
+    1. EXACT collapse first: ``groupBy(phash)`` — one linear shuffle —
+       reduces the corpus to distinct hash values with a representative
+       image and group size. A cluster of k identical tiles costs ONE row
+       from here on, never k(k-1)/2 pairs (the all-black-tile hot spot
+       that kills naive phash joins).
+    2. Banded LSH over DISTINCT values only: the 64-bit hash splits into
+       4 × 16-bit band keys; candidates come from a band equi-join
+       (never a cross product), verified with ``bit_count(xor) <=
+       max_hamming``. Like ``simhash_near_pairs``, recall is the banded-
+       LSH contract: a pair is reported iff it collides on ≥1 band AND
+       passes the hamming check (guaranteed complete for hamming ≤ 3;
+       approximate above).
+
+    Returns ``(rep_a, rep_b, hamming, n_a, n_b)`` over group
+    representatives — feed into ``text.resolve_components(pairs,
+    "rep_a", "rep_b")`` to cluster, all pure Column exprs, no UDF."""
+    groups = images.groupBy("phash").agg(
+        F.min("image_id").alias("rep"), F.count("*").alias("n_images")
+    )
+    bands = groups.select(
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band"),
+                    F.shiftright("phash", 16 * k).bitwiseAND(F.lit(65535)).alias("key"),
+                )
+                for k in range(4)
+            ])
+        ).alias("bk"),
+    ).select("phash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.phash") < F.col("b.phash")),
+        )
+        .select(F.col("a.phash").alias("pa"), F.col("b.phash").alias("pb"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("long")
+    pairs = cand.select("pa", "pb", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+    ga = groups.select(
+        F.col("phash").alias("pa"), F.col("rep").alias("rep_a"),
+        F.col("n_images").alias("n_a"),
+    )
+    gb = groups.select(
+        F.col("phash").alias("pb"), F.col("rep").alias("rep_b"),
+        F.col("n_images").alias("n_b"),
+    )
+    return pairs.join(ga, "pa").join(gb, "pb").select(
+        "rep_a", "rep_b", "hamming", "n_a", "n_b"
+    )
