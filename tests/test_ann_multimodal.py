@@ -731,3 +731,32 @@ def test_image_near_dup_collapse_and_banding(spark):
     # nearer variants c1/b1 — hamming 2/4 — which is correct)
     assert frozenset({"a1", "f1"}) not in got
     assert pairs[("c1", "f1") if ("c1", "f1") in pairs else ("f1", "c1")].hamming == 2
+
+
+def test_pq_adc_topk_recall_compression_and_determinism(spark):
+    """Product quantization (the 32x at-rest lever past SQ8's 4x): codes
+    are m=8 single bytes, ADC+exact-refine recall@10 >= 0.9 vs the float
+    brute force, codebooks deterministic across invocations, and every
+    code addresses a real codebook row."""
+    emb = entry_mod._emb(spark, SF_DIR).select("vec_id", "embedding")
+    q = entry_mod._ann_queries_df(spark, SF_DIR)
+    C = ann_op.pq_train(emb)
+    C2 = ann_op.pq_train(emb)
+    np.testing.assert_array_equal(C, C2)
+    assert C.shape == (ann_op.PQ_M, ann_op.PQ_KSUB, ann_op.EMB_DIM // ann_op.PQ_M)
+
+    enc = ann_op.pq_encode(emb, C)
+    assert dict(enc.dtypes)["pq_code"] == "array<tinyint>"
+    import pyspark.sql.functions as SF
+    mx = enc.select(SF.array_max("pq_code").alias("m"), SF.array_min("pq_code").alias("n")).agg(
+        SF.max("m"), SF.min("n")).first()
+    # codes are zero-point-offset by -128 so ksub=256 fits signed tinyint:
+    # stored value s addresses codebook row s+128, which must be in [0, ksub)
+    assert 0 <= mx[1] + 128 and mx[0] + 128 < ann_op.PQ_KSUB
+
+    got = ann_op.pq_topk(enc, q, C, k=10, refine=4).collect()
+    exact = ann_op.brute_force_topk(emb, q, k=10).collect()
+    truth = {(r.query_id, r.vec_id) for r in exact}
+    pred = {(r.query_id, r.vec_id) for r in got}
+    recall = len(pred & truth) / len(truth)
+    assert recall >= 0.9, recall

@@ -741,3 +741,162 @@ def sq8_topk(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): m-subspace codebooks, ADC scan, exact refine
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (codes per vector: one byte each at ksub<=256)
+PQ_KSUB = 256  # centroids per subspace (8-bit codes — the standard PQ cell)
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = IVF_ITERS,
+    round_digits: int = 6,
+    sample_size: int = IVF_TRAIN_SAMPLE,
+) -> np.ndarray:
+    """Product-quantization codebooks, shape ``(m, ksub, dim/m)`` — the
+    compression tier past SQ8: a dim-64 float32 vector becomes ``m``
+    single-byte codes (32x at-rest/shuffle cut at m=8) with distances
+    still computable from the codes alone (ADC).
+
+    Training mirrors :func:`ivf_train`'s determinism contract exactly —
+    ONE distributed TakeOrdered over md5(id) for the sample, then an
+    independent HALF_UP-rounded Lloyd per dimension-slice in NumPy. Cost
+    is one corpus pass regardless of corpus size."""
+    if EMB_DIM % m:
+        raise ValueError(f"m={m} must divide dim={EMB_DIM}")
+    n_take = max(int(sample_size), int(ksub))
+    rows = (
+        embeddings.select(vec_col, F.md5(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(n_take)
+        .collect()
+    )
+    V = np.asarray([[float(x) for x in r[0]] for r in rows])
+    # cosine retrieval: quantize the L2-NORMALIZED vectors — then squared
+    # L2 is 2 - 2*cos, so the ADC scan ranks exactly by cosine
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+    dsub = V.shape[1] // m
+    return np.stack([
+        _lloyd_numpy(
+            np.ascontiguousarray(V[:, j * dsub : (j + 1) * dsub]),
+            ksub, iters, round_digits,
+        )
+        for j in range(m)
+    ])
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``pq_code`` (array<tinyint>, one code per subspace): per
+    subspace, L2-argmin against its codebook with first-min tie-break —
+    an Arrow-batched pandas UDF (the argmin over ksub centroids is a
+    small dense matmul per batch; the broadcast codebook is
+    m*ksub*dsub floats, kilobytes)."""
+    C = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = C.shape
+
+    @F.pandas_udf("array<tinyint>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        out = np.empty((len(V), m), dtype=np.int16)
+        for j in range(m):
+            sub = V[:, j * dsub : (j + 1) * dsub]
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin drops ||x||^2
+            d = -2.0 * sub @ C[j].T + (C[j] ** 2).sum(axis=1)
+            out[:, j] = d.argmin(axis=1)
+        # tinyint is signed; store code-128 (zero-point offset) so ksub=256
+        # still fits one byte — ADC adds the 128 back
+        return pd.Series(list((out - 128).astype(np.int8)))
+
+    return embeddings.withColumn("pq_code", encode(F.col(vec_col)))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    refine: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k with exact refine — the standard PQ serving shape:
+
+    1. ADC scan: per query, a lookup table of squared-L2 distances from
+       each query subvector to every centroid (m*ksub floats, built once
+       per query per batch); each corpus vector's approximate distance is
+       m table lookups summed — the scan touches ONLY the byte codes,
+       which is the point: at rest/in shuffle the corpus is 32x smaller.
+    2. Refine: the top ``k*refine`` ADC candidates are re-ranked with the
+       EXACT cosine on the original vectors (production fetches only
+       those originals). Recall@10 >= 0.9 at m=8/ksub=256 is pinned by
+       test; refine=1 degrades gracefully to pure ADC ranking.
+
+    Output schema/tie-breaks match brute_force_topk."""
+    C = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = C.shape
+    qrows = queries.select("query_id", "qvec").collect()
+
+    def _lut(qvec):
+        v = np.asarray(qvec, dtype=np.float64)
+        v = v / max(float(np.linalg.norm(v)), 1e-30)
+        return np.stack([
+            -2.0 * v[j * dsub : (j + 1) * dsub] @ C[j].T
+            + (C[j] ** 2).sum(axis=1)
+            for j in range(m)
+        ])
+
+    # driver-bounded: n_queries * m * ksub floats
+    qlut = {r["query_id"]: _lut(r["qvec"]) for r in qrows}
+
+    luts_b = qlut
+
+    @F.pandas_udf("double")
+    def adc(qids: pd.Series, codes: pd.Series) -> pd.Series:
+        out = np.empty(len(codes))
+        for i, (qid, code) in enumerate(zip(qids, codes)):
+            lut = luts_b[qid]
+            idx = np.asarray(code, dtype=np.int64) + 128  # undo zero-point offset
+            out[i] = lut[np.arange(m), idx].sum()
+        return pd.Series(out)
+
+    qdf = queries.select("query_id", "qvec")
+    # ADC scan carries ONLY (vec_id, code) through the ranking shuffle —
+    # the float vectors are joined back for the k*refine survivors alone
+    cand = (
+        encoded.select("vec_id", "pq_code")
+        .crossJoin(F.broadcast(qdf.select("query_id")))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_dist", adc(F.col("query_id"), F.col("pq_code")))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    short = cand.withColumn("arank", F.row_number().over(w_adc)).where(
+        F.col("arank") <= k * refine
+    )
+    scored = (
+        short.select("query_id", "vec_id")
+        .join(encoded.select("vec_id", vec_col), "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
