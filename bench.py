@@ -103,12 +103,15 @@ def run_bench() -> dict:
         "audio_features", "video_frames", "rectify_swath_nc",
         "layout_scene_search", "layout_append", "events_sessionize",
         "pack_sequences", "decontaminate", "stratified_sample",
-        "repetition_metrics",
+        "repetition_metrics", "image_near_dup",
     ]:
+        # retired-but-pinned queries (displaced from the 50-cap registry)
+        # keep their bench line via the underlying module function
+        fn = qs.get(name) or getattr(entry_mod, f"_q_{name}")
         q_runs = []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
-            qs[name](spark, SF_DIR).count()
+            fn(spark, SF_DIR).count()
             q_runs.append(time.perf_counter() - t0)
         timings[name] = round(min(q_runs), 3)
 
