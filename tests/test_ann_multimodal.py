@@ -760,3 +760,52 @@ def test_pq_adc_topk_recall_compression_and_determinism(spark):
     pred = {(r.query_id, r.vec_id) for r in got}
     recall = len(pred & truth) / len(truth)
     assert recall >= 0.9, recall
+
+
+def test_ivfpq_full_probe_equals_brute_force_and_recall(spark):
+    """IVFADC (coarse cells + residual PQ + ADC + exact refine): at full
+    probe with a corpus-covering shortlist the result must EQUAL brute
+    force row-for-row (refine restores exact ranking once coverage is
+    total); at serving defaults (nprobe=3 of 8 cells) recall@10 must be
+    AT LEAST plain IVF's at the same nprobe — the residual-PQ + exact-
+    refine tier may not lose recall vs the coarse ceiling (measured: both
+    0.767 on this corpus) — with an absolute floor of 0.75; build is
+    deterministic and codes address real codebook rows."""
+    emb = entry_mod._emb(spark, SF_DIR).select("vec_id", "embedding")
+    q = entry_mod._ann_queries_df(spark, SF_DIR)
+    n = emb.count()
+
+    built = ann_op.ivfpq_build(emb)
+    built2 = ann_op.ivfpq_build(emb)
+    np.testing.assert_array_equal(built[0], built2[0])
+    np.testing.assert_array_equal(built[1], built2[1])
+    enc = built[2]
+    assert dict(enc.dtypes)["pq_code"] == "array<tinyint>"
+    import pyspark.sql.functions as SF
+    rng = enc.select(
+        SF.max(SF.array_max("pq_code")).alias("mx"),
+        SF.min(SF.array_min("pq_code")).alias("mn"),
+        SF.countDistinct("cluster").alias("nc"),
+    ).first()
+    assert 0 <= rng.mn + 128 and rng.mx + 128 < ann_op.PQ_KSUB
+    assert 1 <= rng.nc <= ann_op.IVF_K
+
+    # full probe + corpus-covering shortlist == exact brute force
+    full = ann_op.ivfpq_topk(
+        emb, q, k=10, nprobe=ann_op.IVF_K, refine=(n // 10) + 1, built=built
+    )
+    exact = ann_op.brute_force_topk(emb, q, k=10)
+    got = {(r.query_id, r.rank): (r.vec_id, r.cos_sim) for r in full.collect()}
+    want = {(r.query_id, r.rank): (r.vec_id, r.cos_sim) for r in exact.collect()}
+    assert got == want
+
+    # serving defaults: recall@10 vs exact truth, held to the plain-IVF
+    # ceiling at the same nprobe (residual PQ + refine must be lossless
+    # past the coarse probe) and an absolute floor
+    truth = {(r.query_id, r.vec_id) for r in exact.collect()}
+    pred = {(r.query_id, r.vec_id) for r in ann_op.ivfpq_topk(emb, q, built=built).collect()}
+    ivf = {(r.query_id, r.vec_id) for r in ann_op.ivf_topk(emb, q, 10).collect()}
+    r_pq = len(pred & truth) / len(truth)
+    r_ivf = len(ivf & truth) / len(truth)
+    assert r_pq >= r_ivf, (r_pq, r_ivf)
+    assert r_pq >= 0.75, r_pq

@@ -783,6 +783,15 @@ def pq_train(
     # cosine retrieval: quantize the L2-NORMALIZED vectors — then squared
     # L2 is 2 - 2*cos, so the ADC scan ranks exactly by cosine
     V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+    return _pq_codebooks_from(V, m, ksub, iters, round_digits)
+
+
+def _pq_codebooks_from(
+    V: np.ndarray, m: int, ksub: int, iters: int, round_digits: int
+) -> np.ndarray:
+    """Per-subspace deterministic Lloyd over an in-memory sample (rows may
+    be raw normalized vectors — pq_train — or coarse-cell residuals —
+    ivfpq_build); shape ``(m, ksub, dim/m)``."""
     dsub = V.shape[1] // m
     return np.stack([
         _lloyd_numpy(
@@ -889,6 +898,175 @@ def pq_topk(
     scored = (
         short.select("query_id", "vec_id")
         .join(encoded.select("vec_id", vec_col), "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVFADC (IVF + residual PQ): the standard production ANN serving shape
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_build(
+    embeddings: DataFrame,
+    n_clusters: int = IVF_K,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = IVF_ITERS,
+    round_digits: int = 6,
+    sample_size: int = IVF_TRAIN_SAMPLE,
+) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    """Train and encode the IVFADC index: coarse k-means cells over the
+    L2-NORMALIZED corpus plus a shared residual-PQ codebook, returning
+    ``(coarse_centroids (n_clusters, dim), pq_codebooks (m, ksub, dim/m),
+    encoded_df (id, cluster, pq_code))``.
+
+    Composition beats either tier alone at scale: the coarse cells cut the
+    scanned fraction to nprobe/n_clusters (and are the at-rest partition
+    key, same story as write_ivf_layout), while residuals — what's LEFT
+    after subtracting the cell centroid — are far more quantizable than raw
+    vectors, so the same byte budget loses less recall than flat PQ.
+
+    Determinism contract matches ivf_train/pq_train: ONE md5-ordered
+    TakeOrdered sample trains BOTH tiers (coarse Lloyd, then per-subspace
+    Lloyd over the sample's residuals), then ONE distributed encode pass
+    over the corpus. Both codebooks are driver/executor-broadcast
+    kilobytes."""
+    if EMB_DIM % m:
+        raise ValueError(f"m={m} must divide dim={EMB_DIM}")
+    n_take = max(int(sample_size), int(ksub), int(n_clusters))
+    rows = (
+        embeddings.select(vec_col, F.md5(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(n_take)
+        .collect()
+    )
+    V = np.asarray([[float(x) for x in r[0]] for r in rows])
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+    coarse = _lloyd_numpy(V, n_clusters, iters, round_digits)
+    resid = V - coarse[_assign_l2(V, coarse)]
+    books = _pq_codebooks_from(resid, m, ksub, iters, round_digits)
+
+    Cc = np.ascontiguousarray(coarse, dtype=np.float64)
+    Cb = np.ascontiguousarray(books, dtype=np.float64)
+    kc, dim = Cc.shape
+    dsub = dim // m
+
+    @F.pandas_udf("struct<cluster:int, pq_code:array<tinyint>>")
+    def encode(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"cluster": pd.Series([], dtype="int32"),
+                                 "pq_code": pd.Series([], dtype=object)})
+        Vb = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        Vb = Vb / np.maximum(np.linalg.norm(Vb, axis=1, keepdims=True), 1e-30)
+        a = _assign_l2(Vb, Cc)
+        R = Vb - Cc[a]
+        out = np.empty((len(Vb), m), dtype=np.int16)
+        for j in range(m):
+            sub = R[:, j * dsub : (j + 1) * dsub]
+            d = -2.0 * sub @ Cb[j].T + (Cb[j] ** 2).sum(axis=1)
+            out[:, j] = d.argmin(axis=1)
+        return pd.DataFrame({
+            "cluster": a.astype(np.int32),
+            # zero-point offset: same one-byte contract as pq_encode
+            "pq_code": list((out - 128).astype(np.int8)),
+        })
+
+    enc = embeddings.select(
+        id_col, encode(F.col(vec_col)).alias("_e")
+    ).select(id_col, F.col("_e.cluster").alias("cluster"),
+             F.col("_e.pq_code").alias("pq_code"))
+    return coarse, books, enc
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    refine: int = 8,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    vec_col: str = "embedding",
+    built: tuple[np.ndarray, np.ndarray, DataFrame] | None = None,
+) -> DataFrame:
+    """IVFADC top-k: probe each query's ``nprobe`` nearest coarse cells,
+    ADC-rank ONLY the byte codes in those cells against a per-(query, cell)
+    lookup table of ``||(q - c)_j - codeword||^2`` (summed over subspaces
+    this IS the squared L2 to the reconstructed vector, built once per
+    probed pair — driver payload n_queries * nprobe * m * ksub floats),
+    then re-rank the top ``k*refine`` survivors with the exact cosine on
+    the originals. Output schema/tie-breaks match brute_force_topk;
+    ``nprobe == n_clusters`` with a shortlist covering the corpus must
+    EQUAL brute force exactly (pinned by test — the refine step restores
+    exact ranking once coverage is total)."""
+    coarse, books, enc = built if built is not None else ivfpq_build(
+        embeddings, n_clusters=n_clusters, m=m, ksub=ksub, vec_col=vec_col
+    )
+    Cc = np.ascontiguousarray(coarse, dtype=np.float64)
+    Cb = np.ascontiguousarray(books, dtype=np.float64)
+    dsub = Cc.shape[1] // m
+
+    qrows = queries.select("query_id", "qvec").collect()
+    probe_rows, luts = [], {}
+    for r in qrows:
+        v = np.asarray(r["qvec"], dtype=np.float64)
+        v = v / max(float(np.linalg.norm(v)), 1e-30)
+        d = ((v[None, :] - Cc) ** 2).sum(axis=1)
+        for cell in np.argsort(d, kind="stable")[:nprobe]:
+            probe_rows.append((r["query_id"], int(cell)))
+            qc = v - Cc[cell]
+            luts[(r["query_id"], int(cell))] = np.stack([
+                ((qc[j * dsub : (j + 1) * dsub][None, :] - Cb[j]) ** 2).sum(axis=1)
+                for j in range(m)
+            ])
+
+    @F.pandas_udf("double")
+    def adc(qids: pd.Series, cells: pd.Series, codes: pd.Series) -> pd.Series:
+        out = np.empty(len(codes))
+        for i, (qid, cell, code) in enumerate(zip(qids, cells, codes)):
+            lut = luts[(qid, int(cell))]
+            idx = np.asarray(code, dtype=np.int64) + 128  # undo zero-point
+            out[i] = lut[np.arange(m), idx].sum()
+        return pd.Series(out)
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    spark = queries.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows,
+        StructType([
+            StructField("query_id", queries.schema["query_id"].dataType),
+            StructField("cluster", IntegerType()),
+        ]),
+    )
+    cand = (
+        enc.join(F.broadcast(probes), "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_dist", adc(F.col("query_id"), F.col("cluster"), F.col("pq_code")))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    short = cand.withColumn("arank", F.row_number().over(w_adc)).where(
+        F.col("arank") <= k * refine
+    )
+    qdf = queries.select("query_id", "qvec")
+    scored = (
+        short.select("query_id", "vec_id")
+        .join(embeddings.select("vec_id", vec_col), "vec_id")
         .join(F.broadcast(qdf), "query_id")
         .select(
             "query_id",
