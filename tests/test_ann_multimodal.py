@@ -809,3 +809,57 @@ def test_ivfpq_full_probe_equals_brute_force_and_recall(spark):
     r_ivf = len(ivf & truth) / len(truth)
     assert r_pq >= r_ivf, (r_pq, r_ivf)
     assert r_pq >= 0.75, r_pq
+
+
+def test_ivfpq_layout_write_append_compact_probe(spark, tmp_path):
+    """IVFADC at-rest layout: (a) full-probe + corpus-covering refine from
+    the layout EQUALS brute force (write path and probe machinery exact);
+    (b) appends encode with the base generation's codebooks and the
+    appended corpus still probes exactly; (c) the serving-default probe is
+    a PARTITION-PRUNED scan; (d) compaction keeps the probe row-identical
+    and never rewrites the source generation's files."""
+    import glob
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    extra = emb.where(F.col("vec_id") % 5 == 0)
+    queries = entry_mod._ann_queries_df(spark, SF_DIR)
+    n = emb.count()
+    k = lambda df: {(r.query_id, r.vec_id, r.cos_sim, r.rank) for r in df.collect()}
+    full = dict(k=10, nprobe=ann_op.IVF_K, refine=(n // 10) + 1)
+
+    path = str(tmp_path / "ivfpq")
+    ann_op.write_ivfpq_layout(base, path)
+    assert k(ann_op.probe_ivfpq_layout(spark, path, queries, **full)) == k(
+        ann_op.brute_force_topk(base, queries, k=10)
+    )
+
+    ann_op.append_ivfpq_layout(extra, path)
+    assert k(ann_op.probe_ivfpq_layout(spark, path, queries, **full)) == k(
+        ann_op.brute_force_topk(emb, queries, k=10)
+    )
+
+    serve = ann_op.probe_ivfpq_layout(spark, path, queries)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        serve.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    want = k(serve)
+
+    g2 = str(tmp_path / "ivfpq_gen2")
+    src_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, "cluster=*", "*.parquet"))
+    }
+    assert src_files
+    ann_op.compact_ivfpq_layout(spark, path, g2)
+    for f, m in src_files.items():
+        assert os.path.getmtime(f) == m, f"compaction rewrote source file {f}"
+    assert k(ann_op.probe_ivfpq_layout(spark, g2, queries)) == want
+    assert os.path.exists(os.path.join(g2, "_appends_compacted.jsonl"))

@@ -930,7 +930,7 @@ def ivfpq_build(
     """Train and encode the IVFADC index: coarse k-means cells over the
     L2-NORMALIZED corpus plus a shared residual-PQ codebook, returning
     ``(coarse_centroids (n_clusters, dim), pq_codebooks (m, ksub, dim/m),
-    encoded_df (id, cluster, pq_code))``.
+    encoded_df (id, vec, cluster, pq_code))``.
 
     Composition beats either tier alone at scale: the coarse cells cut the
     scanned fraction to nprobe/n_clusters (and are the at-rest partition
@@ -957,11 +957,23 @@ def ivfpq_build(
     coarse = _lloyd_numpy(V, n_clusters, iters, round_digits)
     resid = V - coarse[_assign_l2(V, coarse)]
     books = _pq_codebooks_from(resid, m, ksub, iters, round_digits)
+    return coarse, books, _ivfpq_encode(embeddings, coarse, books, id_col, vec_col)
 
+
+def _ivfpq_encode(
+    embeddings: DataFrame,
+    coarse: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The distributed IVFADC encode pass: (id, cluster, pq_code) via one
+    Arrow-batched UDF — shared by ivfpq_build (fresh codebooks) and
+    append_ivfpq_layout (codebooks loaded from the layout meta)."""
     Cc = np.ascontiguousarray(coarse, dtype=np.float64)
     Cb = np.ascontiguousarray(books, dtype=np.float64)
-    kc, dim = Cc.shape
-    dsub = dim // m
+    m = Cb.shape[0]
+    dsub = Cc.shape[1] // m
 
     @F.pandas_udf("struct<cluster:int, pq_code:array<tinyint>>")
     def encode(vecs: pd.Series) -> pd.DataFrame:
@@ -983,11 +995,10 @@ def ivfpq_build(
             "pq_code": list((out - 128).astype(np.int8)),
         })
 
-    enc = embeddings.select(
-        id_col, encode(F.col(vec_col)).alias("_e")
-    ).select(id_col, F.col("_e.cluster").alias("cluster"),
+    return embeddings.select(
+        id_col, vec_col, encode(F.col(vec_col)).alias("_e")
+    ).select(id_col, vec_col, F.col("_e.cluster").alias("cluster"),
              F.col("_e.pq_code").alias("pq_code"))
-    return coarse, books, enc
 
 
 def ivfpq_topk(
@@ -1015,6 +1026,29 @@ def ivfpq_topk(
     coarse, books, enc = built if built is not None else ivfpq_build(
         embeddings, n_clusters=n_clusters, m=m, ksub=ksub, vec_col=vec_col
     )
+    return _ivfpq_query(
+        enc.select("vec_id", "cluster", "pq_code"),
+        embeddings.select("vec_id", vec_col),
+        queries, coarse, books, k, nprobe, refine, m, vec_col,
+    )
+
+
+def _ivfpq_query(
+    enc: DataFrame,
+    originals: DataFrame,
+    queries: DataFrame,
+    coarse: np.ndarray,
+    books: np.ndarray,
+    k: int,
+    nprobe: int,
+    refine: int,
+    m: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVFADC probe/ADC/shortlist/refine machinery, shared by
+    ivfpq_topk (in-memory encode) and probe_ivfpq_layout (partition-pruned
+    at-rest scans). ``enc`` carries ONLY (vec_id, cluster, pq_code);
+    ``originals`` supplies the float vectors for the refine join alone."""
     Cc = np.ascontiguousarray(coarse, dtype=np.float64)
     Cb = np.ascontiguousarray(books, dtype=np.float64)
     dsub = Cc.shape[1] // m
@@ -1032,6 +1066,14 @@ def ivfpq_topk(
                 ((qc[j * dsub : (j + 1) * dsub][None, :] - Cb[j]) ** 2).sum(axis=1)
                 for j in range(m)
             ])
+
+    # the probed cells as STATIC predicates: on an at-rest layout these are
+    # partition filters (only nprobe/n_clusters of the files are read); on
+    # an in-memory encode they're a no-op-cheap filter
+    cells = sorted({c for _, c in probe_rows})
+    enc = enc.where(F.col("cluster").isin(cells))
+    if "cluster" in originals.columns:
+        originals = originals.where(F.col("cluster").isin(cells)).drop("cluster")
 
     @F.pandas_udf("double")
     def adc(qids: pd.Series, cells: pd.Series, codes: pd.Series) -> pd.Series:
@@ -1066,7 +1108,7 @@ def ivfpq_topk(
     qdf = queries.select("query_id", "qvec")
     scored = (
         short.select("query_id", "vec_id")
-        .join(embeddings.select("vec_id", vec_col), "vec_id")
+        .join(originals, "vec_id")
         .join(F.broadcast(qdf), "query_id")
         .select(
             "query_id",
@@ -1078,3 +1120,123 @@ def ivfpq_topk(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# --- IVFADC at-rest layout: partition-pruned serving, incremental append,
+# --- generational compaction (mirrors write/append/compact_ivf_layout)
+
+IVFPQ_META = "_ivfpq_meta.json"
+
+
+def write_ivfpq_layout(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = IVF_K,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> None:
+    """Materialize the IVFADC layout: corpus written partitioned by coarse
+    cluster with BOTH representations per row — the one-byte PQ codes the
+    ADC scan reads (column-pruned: that scan never touches the float
+    column) and the original vector the refine join reads back for the
+    k*refine shortlist only. Both codebooks persist beside the data, so
+    appends re-encode with them (no retrain) and a probe reads
+    nprobe/n_clusters of the files as a partition-pruned scan."""
+    import json
+    import os
+
+    coarse, books, enc = ivfpq_build(embeddings, n_clusters=n_clusters, m=m, ksub=ksub)
+    (
+        enc.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+    with open(os.path.join(path, IVFPQ_META), "w") as f:
+        json.dump({
+            "n_clusters": n_clusters, "m": m, "ksub": ksub,
+            "coarse": coarse.tolist(), "books": books.tolist(),
+        }, f)
+
+
+def _load_ivfpq_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, IVFPQ_META)) as f:
+        meta = json.load(f)
+    meta["coarse"] = np.asarray(meta["coarse"], dtype=np.float64)
+    meta["books"] = np.asarray(meta["books"], dtype=np.float64)
+    return meta
+
+
+def append_ivfpq_layout(embeddings_new: DataFrame, path: str) -> None:
+    """Incremental IVFADC maintenance: new vectors are encoded with the
+    layout's EXISTING codebooks (no retrain, no full-corpus pass) and
+    appended into their cluster partitions; drift is handled by a fresh
+    write_ivfpq_layout generation — the same serve/retrain split as
+    append_ivf_layout."""
+    import json
+    import os
+
+    meta = _load_ivfpq_meta(path)
+    (
+        _ivfpq_encode(embeddings_new, meta["coarse"], meta["books"])
+        .repartition("cluster")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_appends.jsonl"), "a") as f:
+        f.write(json.dumps({"rows": embeddings_new.count()}) + "\n")
+
+
+def compact_ivfpq_layout(spark, src: str, dst: str) -> None:
+    """Fold an append-accumulated IVFADC layout into a fresh generation at
+    ``dst`` (one file set per cluster again): one read + one cluster-keyed
+    shuffle + one write, codebooks carried over verbatim so probes over the
+    new generation are row-identical; the source generation is never
+    touched, only superseded (same pattern as compact_ivf_layout)."""
+    import json
+    import os
+    import shutil
+
+    meta = _load_ivfpq_meta(src)
+    (
+        spark.read.parquet(src)
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(dst)
+    )
+    with open(os.path.join(dst, IVFPQ_META), "w") as f:
+        json.dump({
+            "n_clusters": meta["n_clusters"], "m": meta["m"], "ksub": meta["ksub"],
+            "coarse": meta["coarse"].tolist(), "books": meta["books"].tolist(),
+        }, f)
+    leftover = os.path.join(src, "_appends.jsonl")
+    if os.path.exists(leftover):
+        shutil.copy(leftover, os.path.join(dst, "_appends_compacted.jsonl"))
+
+
+def probe_ivfpq_layout(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    refine: int = 8,
+) -> DataFrame:
+    """ivfpq_topk served from the at-rest layout: the probed cluster ids
+    become static partition predicates, the ADC scan reads ONLY
+    (vec_id, cluster, pq_code) from those directories (column pruning keeps
+    the float vectors unread — the 32x cut is what the scan actually
+    pays), and a second pruned scan supplies the originals for the
+    k*refine refine join alone."""
+    meta = _load_ivfpq_meta(path)
+    enc = spark.read.parquet(path).select("vec_id", "cluster", "pq_code")
+    originals = spark.read.parquet(path).select("vec_id", "embedding", "cluster")
+    return _ivfpq_query(
+        enc, originals, queries, meta["coarse"], meta["books"],
+        k, nprobe, refine, meta["m"],
+    )
