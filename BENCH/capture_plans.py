@@ -111,8 +111,10 @@ def main() -> int:
             [r"\bNOSUCHTOKEN\b"],
         ))
 
-    # 7. minhash signatures: ONE aggregation over the gram table, no x16
-    # seed explode (the r01 plan exploded sequence(0, 15) per gram)
+    # 7. minhash signatures: fully NARROW since r7 — per-row array_min over
+    # the projected gram-hash array, NO Exchange and no gram explode at all
+    # (r6 shuffled the exploded gram table for 16 static min-aggs; r01
+    # additionally exploded sequence(0, 15) per gram)
     from xcube_stac_spark.operators import text as text_op
 
     sig = text_op.minhash_signatures(
@@ -120,12 +122,21 @@ def main() -> int:
     )
     p7 = plan_of(sig)
     checks.append((
-        "text.minhash_signatures (static min-aggs, gram table stays 1x)", p7,
-        [r"HashAggregate", r"min\("],
+        "text.minhash_signatures (narrow array_min, no gram explode/shuffle)", p7,
+        [r"array_min", r"transform"],
     ))
-    if re.search(r"sequence\(0, 15", p7):
+    # the ONLY allowed exchange is the small-file parallelize_scan
+    # repartition of the raw docs (hashpartitioning on doc_id); any other
+    # exchange (or a Generate) means the gram table is being exploded or
+    # shuffled again
+    n_exch = len(re.findall(r"\(\d+\) Exchange", p7))
+    bad_exch = n_exch > 1 or (
+        n_exch == 1 and not re.search(r"hashpartitioning\(doc_id#", p7)
+    )
+    if bad_exch or re.search(r"Generate", p7):
         checks.append((
-            "minhash_signatures must not explode the seed sequence", p7,
+            "minhash_signatures must not explode grams or shuffle beyond "
+            "the input parallelize_scan", p7,
             [r"\bNOSUCHTOKEN\b"],
         ))
 

@@ -296,3 +296,89 @@ def test_repetition_metrics_flags_looping_text(spark):
     assert m[2].dup_word_frac == 0.0 and m[2].top_word_frac == 0.1
     assert m[2].dup_ngram_frac == 0.0
     assert m[3].dup_ngram_frac == 0.0
+
+
+def test_resolve_components_string_ids_long_chain(spark):
+    """r7 regression (ADVICE r6): the convergence witness must be
+    type-agnostic — a STRING-id chain of diameter > 2 (the documented
+    image_near_dup rep_a/rep_b composition) must fully converge, not stop
+    after one round as the old decimal-cast label-sum did with ANSI off."""
+    chain = [(f"RGB{i:04d}", f"RGB{i + 1:04d}") for i in range(10, 18)]
+    pairs = spark.createDataFrame(chain + [("zz9", "zz8")], "doc_a string, doc_b string")
+    out = text_op.resolve_components(pairs, max_iter=8).collect()
+    lab = {r.doc_id: r.canonical_id for r in out}
+    assert all(lab[f"RGB{i:04d}"] == "RGB0010" for i in range(10, 19))
+    assert lab["zz8"] == "zz8" and lab["zz9"] == "zz8"
+
+
+def test_pack_ffd_segment_tree_matches_linear_scan():
+    """The r7 capacity-indexed first-fit must place every doc in exactly
+    the bin the linear first-fit scan chose — identical bins, identical
+    order — including an adversarial ~seq_len/2 distribution."""
+    import random
+
+    def linear_ffd(items, seq_len):
+        bins = []
+        for doc_id, tok in items:
+            for b in bins:
+                if b[0] + tok <= seq_len:
+                    b[0] += tok
+                    b[1].append(doc_id)
+                    break
+            else:
+                bins.append([tok, [doc_id]])
+        return bins
+
+    def tree_ffd(items, seq_len):
+        size = 1
+        while size < max(len(items), 1):
+            size <<= 1
+        tree = [-1] * (2 * size)
+        bins = []
+        for doc_id, tok in items:
+            if tree[1] >= tok:
+                node = 1
+                while node < size:
+                    node = 2 * node if tree[2 * node] >= tok else 2 * node + 1
+                bi = node - size
+                bins[bi][0] += tok
+                bins[bi][1].append(doc_id)
+                rem = seq_len - bins[bi][0]
+            else:
+                bi = len(bins)
+                bins.append([tok, [doc_id]])
+                node = size + bi
+                rem = seq_len - tok
+            tree[node] = rem
+            node >>= 1
+            while node:
+                tree[node] = max(tree[2 * node], tree[2 * node + 1])
+                node >>= 1
+        return bins
+
+    rng = random.Random(7)
+    cases = [
+        [(i, rng.randint(1, 512)) for i in range(2000)],
+        [(i, rng.randint(200, 300)) for i in range(2000)],  # ~seq_len/2 adversary
+        [(i, 512) for i in range(50)],
+        [(0, 1)],
+        [],
+    ]
+    for items in cases:
+        items = sorted(items, key=lambda it: (-it[1], it[0]))
+        assert tree_ffd(items, 512) == linear_ffd(items, 512)
+
+
+def test_pack_sequences_adversarial_half_len_shard(spark):
+    """pack_sequences end-to-end with an adversarial ~seq_len/2 token
+    distribution (every bin takes exactly one doc until a small one fits):
+    invariants hold and the run completes fast (the O(n·bins) scan this
+    replaced was quadratic here)."""
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("w"), (F.col("id") % 3 + 130).cast("int"))).alias("text"),
+    )
+    packed = text_op.pack_sequences(docs, seq_len=256, shards=4).collect()
+    seen = sorted(d for r in packed for d in r.doc_ids)
+    assert seen == list(range(3000))
+    assert all(r.n_tokens <= 256 for r in packed)

@@ -2721,6 +2721,28 @@ def _read_prefix_code(br: _LSBReader, alphabet: int):
     return {v: k for k, v in codes.items()}, None
 
 
+#: byte bit-reversal table: turns the LSB-first VP8L stream into an
+#: MSB-first one so the decode_jpeg ``next16`` window trick applies as-is
+_BITREV8 = np.array(
+    [int(f"{i:08b}"[::-1], 2) for i in range(256)], dtype=np.uint8
+)
+
+
+def _vp8l_lut(tree: dict[tuple[int, int], int]) -> tuple[list[int], list[int]]:
+    """16-bit-peek decode LUT for a VP8L canonical tree (codes are MSB-first
+    over the bit stream, max length 15): peek -> (symbol or -1, length).
+    Plain Python lists — the pixel loop indexes them ~3x faster than numpy
+    scalar indexing."""
+    sym = [-1] * (1 << 16)
+    ln = [0] * (1 << 16)
+    for (code, length), s in tree.items():
+        lo = code << (16 - length)
+        step = 1 << (16 - length)
+        sym[lo : lo + step] = [s] * step
+        ln[lo : lo + step] = [length] * step
+    return sym, ln
+
+
 def decode_webp(data: bytes, w: int | None = None, h: int | None = None) -> np.ndarray:
     """Decode the VP8L-lossless subset (transforms/color-cache/backrefs
     rejected explicitly). Returns channel-major (3, h, w) uint16 (8-bit
@@ -2760,18 +2782,85 @@ def decode_webp(data: bytes, w: int | None = None, h: int | None = None) -> np.n
     tree_a = _read_prefix_code(br, 256)
     _read_prefix_code(br, 40)  # distance tree (unused by the subset)
     n = width * height
-    R = np.empty(n, np.uint8)
-    G = np.empty(n, np.uint8)
-    B = np.empty(n, np.uint8)
+    # Table-driven pixel loop (the decode_jpeg ``next16`` trick adapted to
+    # VP8L's LSB-first bit order): one list index resolves a whole prefix
+    # code instead of a per-bit tree walk + dict probe. Bit-exact with the
+    # walker (prefix-freeness: the unique code matching a 16-bit window is
+    # the one the walker finds), and the truncated/bad-code ValueErrors
+    # fire on the same streams. Profiled 416x416 RGB: 1.3 s -> ~0.25 s.
+    rev = _BITREV8[np.frombuffer(payload, np.uint8)].astype(np.uint32)
+    rev = np.concatenate([rev, np.zeros(4, np.uint32)])
+    _val24 = (rev[:-2] << 16) | (rev[1:-1] << 8) | rev[2:]
+    next16 = (
+        (_val24[:, None] >> (8 - np.arange(8, dtype=np.uint32))[None, :]) & 0xFFFF
+    ).reshape(-1).tolist()
+    nbits = 8 * len(payload)
+    luts = []
+    for tree, zsym in (tree_g, tree_r, tree_b, tree_a):
+        luts.append((None, None, zsym) if zsym is not None else (*_vp8l_lut(tree), None))
+    (gs, gl, gz), (rs, rl, rz), (bs, bl, bz), (asym, alen, az) = luts
+    p = br.pos
+    Gl = [0] * n
+    Rl = [0] * n
+    Bl = [0] * n
     for i in range(n):
-        g = br.code(*tree_g)
+        if gz is not None:
+            g = gz
+        else:
+            if p >= nbits:
+                raise ValueError("truncated VP8L stream")
+            k = next16[p]
+            g = gs[k]
+            if g < 0:
+                raise ValueError("bad VP8L prefix code")
+            p += gl[k]
+            if p > nbits:
+                raise ValueError("truncated VP8L stream")
         if g >= 256:
             raise ValueError("VP8L backrefs/cache hits not supported in this subset")
-        G[i] = g
-        R[i] = br.code(*tree_r)
-        B[i] = br.code(*tree_b)
-        br.code(*tree_a)
-    rgb = np.stack([R, G, B]).reshape(3, height, width).astype(np.uint16)
+        Gl[i] = g
+        if rz is not None:
+            Rl[i] = rz
+        else:
+            if p >= nbits:
+                raise ValueError("truncated VP8L stream")
+            k = next16[p]
+            s = rs[k]
+            if s < 0:
+                raise ValueError("bad VP8L prefix code")
+            p += rl[k]
+            if p > nbits:
+                raise ValueError("truncated VP8L stream")
+            Rl[i] = s
+        if bz is not None:
+            Bl[i] = bz
+        else:
+            if p >= nbits:
+                raise ValueError("truncated VP8L stream")
+            k = next16[p]
+            s = bs[k]
+            if s < 0:
+                raise ValueError("bad VP8L prefix code")
+            p += bl[k]
+            if p > nbits:
+                raise ValueError("truncated VP8L stream")
+            Bl[i] = s
+        if az is None:
+            if p >= nbits:
+                raise ValueError("truncated VP8L stream")
+            k = next16[p]
+            if asym[k] < 0:
+                raise ValueError("bad VP8L prefix code")
+            p += alen[k]
+            if p > nbits:
+                raise ValueError("truncated VP8L stream")
+    rgb = (
+        np.stack([
+            np.array(Rl, np.uint8), np.array(Gl, np.uint8), np.array(Bl, np.uint8)
+        ])
+        .reshape(3, height, width)
+        .astype(np.uint16)
+    )
     return rgb * np.uint16(257)
 
 

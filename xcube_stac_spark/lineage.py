@@ -391,10 +391,17 @@ def _write_cube_fused(
         # its planes-never-read property.
         if "data_bytes" not in rb0.columns:
             byte_col = F.octet_length("data").cast("long")
-        elif (
-            "data" in rb0.columns
-            and rb0.where(F.col("data_bytes").isNull()).limit(1).count() > 0
-        ):
+        elif rb0.where(F.col("data_bytes").isNull()).limit(1).count() > 0:
+            if "data" not in rb0.columns:
+                # NULL data_bytes with no payload column to fall back on
+                # (e.g. metric-only legacy files): summing past the NULLs
+                # would silently understate day bytes — fail loudly instead
+                # (ADVICE r6)
+                raise ValueError(
+                    f"{path}: data_bytes contains NULLs but no 'data' payload "
+                    "column exists to measure — day byte totals would be "
+                    "silently understated"
+                )
             byte_col = F.coalesce(
                 F.col("data_bytes"), F.octet_length("data").cast("long")
             )

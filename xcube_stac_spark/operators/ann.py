@@ -1077,11 +1077,23 @@ def _ivfpq_query(
 
     @F.pandas_udf("double")
     def adc(qids: pd.Series, cells: pd.Series, codes: pd.Series) -> pd.Series:
+        # one vectorized gather per (query, cell) GROUP, not per row: all
+        # rows of a group share one LUT, so the batch groups collapse the
+        # Python iteration count from O(rows) to O(probed pairs). Per-row
+        # float summation order is unchanged (np.sum over the m-length
+        # rows of a (rows, m) gather is the same sequential reduction as
+        # the old per-row m-element sum), so scores are byte-identical.
         out = np.empty(len(codes))
-        for i, (qid, cell, code) in enumerate(zip(qids, cells, codes)):
+        if not len(codes):
+            return pd.Series(out)
+        jj = np.arange(m)
+        groups = pd.DataFrame({"q": qids, "c": cells}).groupby(
+            ["q", "c"], sort=False
+        ).indices
+        for (qid, cell), idx in groups.items():
             lut = luts[(qid, int(cell))]
-            idx = np.asarray(code, dtype=np.int64) + 128  # undo zero-point
-            out[i] = lut[np.arange(m), idx].sum()
+            mat = np.vstack(codes.iloc[idx].to_numpy()).astype(np.int64) + 128
+            out[idx] = lut[jj[None, :], mat].sum(axis=1)
         return pd.Series(out)
 
     from pyspark.sql.types import IntegerType, StructField, StructType

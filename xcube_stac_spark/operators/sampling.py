@@ -35,7 +35,14 @@ _H32_SPACE = 1 << 32
 
 
 def rate_thresholds(rates: dict[str, float]) -> dict[str, int]:
-    """Integer keep-thresholds per stratum: floor(rate * 2^32)."""
+    """Integer keep-thresholds per stratum: floor(rate * 2^32).
+
+    Rates outside [0, 1] are rejected: a rate > 1 would silently keep
+    everything while emitting a < 1 Horvitz-Thompson weight, biasing every
+    reweighted total downstream."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"sampling rate for stratum {s!r} must be in [0, 1], got {r}")
     return {s: int(r * _H32_SPACE) for s, r in rates.items()}
 
 
@@ -56,6 +63,8 @@ def stratified_sample(
     probability) for unbiased reweighting downstream.
     """
     thr = rate_thresholds(rates)
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
     dthr = int(default_rate * _H32_SPACE)
     s = F.col(strata_col)
     thr_col: Column = F.lit(dthr)

@@ -70,13 +70,64 @@ def ngrams_of_tokens(toks: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(empty)
 
 
+def parallelize_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Hash-repartition ONLY when the planned scan parallelism is below the
+    session default — the single-row-group small-file case, where every
+    downstream narrow expression (gram transforms, md5, regex) would
+    otherwise run on ONE core (guide §2.5 input skew: "one huge
+    unsplittable file... repartition immediately after the read"). A real
+    corpus scan arrives with >= cores splits and this is a NO-OP (no
+    shuffle, no plan change); the probe itself plans the query but runs no
+    job. Keyed on doc_id (deterministic, balanced) rather than round-robin
+    so no sort-before-repartition is paid and task retries are safe."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col("doc_id"))
+    return df
+
+
 def _gram_rows(docs: DataFrame, ngram: int) -> DataFrame:
     """(doc_id, gram) distinct-per-doc gram rows with the tokenization
     projected ONCE per row (the shared first stage of every gram-based
-    dedup operator)."""
+    dedup operator).
+
+    The gram-array expression stays INLINE in the explode on purpose: if it
+    is projected to a column first, ``InferFiltersFromGenerate`` sees an
+    attribute child, infers ``size(g) > 0 AND isnotnull(g)``, and filter
+    pushdown substitutes the whole transform — with the tokenizing split
+    re-inlined per element_at — into an interpreted per-row Filter at the
+    scan: O(tokens²) per doc (measured 1.8 s -> 11.9 s at sf0.1). The rule
+    skips non-attribute explode children, so the inline form is immune."""
     return docs.select("doc_id", tokens_col(F.col("text")).alias("toks")).select(
         "doc_id",
         F.explode(F.array_distinct(ngrams_of_tokens(F.col("toks"), ngram))).alias("gram"),
+    )
+
+
+def _doc_gram_arrays(docs: DataFrame, ngram: int) -> DataFrame:
+    """(doc_id, grams) with the DISTINCT gram ARRAY per doc — the narrow
+    (zero-shuffle, zero-explode) form of the gram table. Tokens are
+    projected in their own step so Catalyst does not inline the split into
+    the transform lambda (the O(tokens²) trap, see word_ngrams). NEVER put
+    a filter or explode directly on the ``grams`` attribute — see the
+    _gram_rows docstring for the filter-substitution trap; filter on
+    ``size(toks)`` upstream instead."""
+    return docs.select("doc_id", tokens_col(F.col("text")).alias("toks")).select(
+        "doc_id",
+        F.array_distinct(ngrams_of_tokens(F.col("toks"), ngram)).alias("grams"),
+    )
+
+
+def _doc_gram_sizes(docs: DataFrame, ngram: int) -> DataFrame:
+    """(doc_id, n_grams) per-doc DISTINCT gram counts, computed narrowly as
+    ``size(grams)`` — value-identical to ``count(*)`` over the exploded
+    distinct gram rows, but with NO shuffle (guide §2.4: the groupBy this
+    replaces was a full exchange of the gram table). Docs with zero grams
+    get a 0 row here instead of being absent; all consumers inner-join on
+    docs that share at least one gram, so the results are unchanged."""
+    return _doc_gram_arrays(docs, ngram).select(
+        "doc_id", F.size("grams").alias("n_grams")
     )
 
 
@@ -131,22 +182,43 @@ def minhash_signatures(docs: DataFrame, ngram: int = 3) -> DataFrame:
     """(doc_id, m0..m{N_HASHES-1}): per-seed minhash columns — min over the
     doc's distinct word-ngrams of (a_seed * h32(gram) + b_seed) mod p.
 
-    Computed as N_HASHES static min-aggregates over the gram rows (one
-    shuffle on doc_id) instead of exploding every gram ×N_HASHES seeds and
-    re-grouping (the r01 18 s / 5k docs shape). Digest work is ONE md5 per
-    gram: the per-seed hashes are affine mixes of the shared 32-bit base
-    hash over the Mersenne prime 2^61-1 — the standard universal minhash
-    family, with identical literals mirrored into the DuckDB oracle
-    (parity proves the equivalence every round). Profiled: the signature
-    stage was 100% of minhash_near_dup's cost and md5 was its hot spot
-    (16 digests/gram in r2, 4 in early r3, 1 now)."""
-    grams = _gram_rows(docs, ngram)
-    hashed = grams.select("doc_id", _h32(F.col("gram")).alias("h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"m{seed}")
+    Computed NARROWLY (r7, guide §2.4): the per-gram base hashes are a
+    per-row ``transform`` over the doc's gram array projected once, and
+    each seed's minhash is an ``array_min`` over an affine mix of that
+    array — ZERO shuffle and zero row explosion, where the r6 shape
+    exploded the gram table and paid a full exchange for N_HASHES static
+    min-aggregates (and r01 exploded ×16 seeds, 18 s / 5k docs). Digest
+    work stays ONE md5 per gram (the ``hs`` projection is its own step so
+    Catalyst does not inline it 16×; per-seed hashes are affine mixes over
+    the Mersenne prime 2^61-1 — the standard universal minhash family,
+    identical literals mirrored into the DuckDB oracle). Docs with no
+    grams are filtered exactly as the exploded shape dropped them."""
+    # the no-gram filter runs on size(toks) — equivalent to the exploded
+    # shape's membership (grams nonempty ⟺ tokens >= ngram) and CHEAP when
+    # pushdown inlines it at the scan, unlike a filter on the grams
+    # attribute (the substitution trap, see _gram_rows)
+    hashed = (
+        parallelize_scan(docs)
+        .select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= ngram)
+        .select(
+            "doc_id",
+            F.array_distinct(ngrams_of_tokens(F.col("toks"), ngram)).alias("grams"),
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("grams"), lambda g: _h32(g)).alias("hs"),
+        )
+    )
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MH_PRIME)
+            )
+        ).alias(f"m{seed}")
         for seed, (a, b) in enumerate(_mh_params(N_HASHES))
     ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    return hashed.select("doc_id", *cols)
 
 
 def lsh_band_buckets(signatures: DataFrame) -> DataFrame:
@@ -177,10 +249,19 @@ def lsh_band_buckets(signatures: DataFrame) -> DataFrame:
 
 def minhash_candidates(docs: DataFrame, ngram: int = 3) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ANY band bucket (doc_a<doc_b).
-    This is the bucket-equi-join that replaces the O(n²) all-pairs scan."""
+    This is the bucket-equi-join that replaces the O(n²) all-pairs scan.
+
+    The SHUFFLE_HASH hint matters (guide §3.1/§2.4): left to size
+    estimates the planner BROADCASTS one side of the self-join, which (a)
+    computes the whole signature pipeline twice — the two sides are the
+    same subplan, and only symmetric shuffle exchanges get deduplicated by
+    ReuseExchange — and (b) collects the bucket table to the driver. With
+    both sides shuffling on (band, band_sig) the signatures are computed
+    ONCE (measured at sf1.0: 3.7 s -> 2.5 s) and nothing lands on the
+    driver at any corpus size."""
     b = lsh_band_buckets(minhash_signatures(docs, ngram))
     a = b.alias("a")
-    c = b.alias("b")
+    c = b.hint("shuffle_hash").alias("b")
     return (
         a.join(c, ["band", "band_sig"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -196,27 +277,38 @@ def minhash_near_dups(
     then EXACT n-gram Jaccard verification of just those pairs — the
     shape that stays linear at 10^12 docs (verification cost is
     O(candidates), and banding keeps candidates ≈ true near-dups)."""
+    docs = parallelize_scan(docs)
     cand = minhash_candidates(docs, ngram)
-    grams = _gram_rows(docs, ngram)
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    ga = grams.alias("ga")
-    gb = grams.alias("gb")
-    inter = (
-        cand.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
-        .join(gb, (F.col("doc_b") == F.col("gb.doc_id")) & (F.col("ga.gram") == F.col("gb.gram")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    # verification via per-doc gram ARRAYS (r7, guide §2.3/§2.4): join the
+    # candidate set twice against the narrow (doc_id, grams) table and take
+    # size(array_intersect) — value-identical to the r6 shape (grams are
+    # distinct per doc, so the intersection size IS the shared
+    # distinct-gram count) but with no gram-row explosion and two joins
+    # instead of four; n_grams comes from the same arrays for free. The
+    # SHUFFLE_HASH hints stop the planner broadcasting the gram-array
+    # tables (driver collect of the whole corpus' grams — fatal at scale,
+    # slow at bench scale); a shuffle keyed on doc id moves each side once.
+    g = _doc_gram_arrays(docs, ngram)
+    ga = g.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("grams_a"),
+        F.size("grams").alias("n_a"),
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    gb = g.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("grams_b"),
+        F.size("grams").alias("n_b"),
+    )
+    n_common = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(ga.hint("shuffle_hash"), "doc_a")
+        .join(gb.hint("shuffle_hash"), "doc_b")
+        .withColumn("n_common", n_common)
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
-                / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_common")),
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
                 6,
             ),
         )
@@ -243,28 +335,50 @@ def resolve_components(
     doc id; `localCheckpoint` truncates the lineage every round so the
     plan stays O(1)-deep at any round count (an unbounded iterative plan
     is a driver OOM at scale). Deterministic: the fixpoint (min id per
-    component) is unique regardless of join order or parallelism."""
-    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    component) is unique regardless of join order or parallelism.
+
+    r7 job economy (guide §1.2/§2.4): the seed aggregation fuses the first
+    propagation (label₀ = min(node, min neighbor) — one groupBy instead of
+    a distinct plus a full round); checkpoints are LAZY so a round launches
+    no job of its own; convergence is checked every 2nd round (labels only
+    decrease, so a skipped check can never miss the fixpoint, it just runs
+    ≤1 extra no-op round) by counting changed labels — a type-agnostic
+    witness that works for string doc ids too (the r6 decimal label-sum
+    crashed/NULLed on non-numeric ids under/without ANSI mode)."""
+    # symmetrize in ONE pass over the pair pipeline: the r6
+    # union(pairs, swapped) computed the (expensive) upstream pair plan
+    # twice — a 2-element explode emits both directions per input row
     edges = (
-        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a).alias("u"), F.col(b).alias("v")),
+                    F.struct(F.col(b).alias("u"), F.col(a).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        # EAGER checkpoint, not persist: persist caches the data but keeps
+        # the full upstream logical plan, and every round's lazy checkpoint
+        # re-runs Catalyst over that whole tree (measured 0.8-6 s of DRIVER
+        # planning per round at sf1.0); the checkpoint truncates the plan to
+        # an RDD scan so each round plans in milliseconds
         .localCheckpoint()
     )
-    # convergence witness: labels only ever DECREASE under min-propagation,
-    # so the exact sum of labels is strictly monotone until the fixpoint —
-    # one map-side partial aggregate per round instead of a shuffle join
-    # against the previous labels (decimal(38,0): exact at any node count)
-    def _label_sum(df: DataFrame):
-        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-
-    prev_sum = _label_sum(labels)
-    for _ in range(max_iter):
+    # seed = round 0 fused into the node enumeration: every node appears as
+    # ``u`` (edges are symmetric), so one aggregation yields both the node
+    # set and min(node, min neighbor)
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("nmin"))
+        .select(
+            F.col("u").alias("node"), F.least(F.col("u"), F.col("nmin")).alias("label")
+        )
+        .localCheckpoint(eager=False)
+    )
+    converged = False
+    for it in range(max_iter):
         nmin = (
             edges.join(
                 labels.select(F.col("node").alias("v"), F.col("label").alias("vlab")),
@@ -276,6 +390,7 @@ def resolve_components(
         )
         prop = labels.join(nmin, "node", "left").select(
             "node",
+            F.col("label").alias("prev"),
             F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
                 "label"
             ),
@@ -290,22 +405,26 @@ def resolve_components(
             )
             .select(
                 "node",
+                "prev",
                 F.least(
                     F.col("label"), F.coalesce(F.col("llabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        new_sum = _label_sum(jumped)
         labels = jumped
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    else:
+        if it % 2 == 0 or it == max_iter - 1:
+            # materializes this round's (and any pending) lazy checkpoint
+            if labels.where(F.col("label") != F.col("prev")).limit(1).count() == 0:
+                converged = True
+                break
+    if not converged:
         logging.getLogger(__name__).warning(
             "resolve_components hit max_iter=%d before convergence", max_iter
         )
-    edges.unpersist()
+    labels = labels.drop("prev")
+    # (edges is localCheckpoint-backed; its blocks are released by the
+    # ContextCleaner when the RDD goes out of scope — no unpersist API)
     w = Window.partitionBy("canonical_id")
     return (
         labels.select(
@@ -370,13 +489,17 @@ def decontaminate(
     if the eval gram table outgrows executor memory (then it's a plain
     bucketed equi-join, still linear). Unlike the near-dup family there is
     no candidate blow-up: fan-out is bounded by eval-set size."""
+    docs = parallelize_scan(docs)
     dg = _gram_rows(docs, ngram)
     eg = _gram_rows(
         eval_docs.select(F.col("eval_id").alias("doc_id"), "text"), ngram
     ).select(F.col("doc_id").alias("eval_id"), "gram")
     if broadcast:
         eg = F.broadcast(eg)
-    sizes = dg.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    # narrow per-doc sizes (guide §2.4): the r6 shape shuffled the FULL
+    # corpus gram table just to count per-doc grams — the one corpus-gram
+    # exchange this operator's scale story says must not exist
+    sizes = _doc_gram_sizes(docs, ngram)
     hits = (
         dg.join(eg, "gram")
         .groupBy("doc_id", "eval_id")
@@ -419,10 +542,16 @@ def ngram_jaccard_pairs(
     set ignore those grams; Jaccard is computed over the FULL gram sets
     (sizes are taken before the filter), so reported similarity is a lower
     bound for pairs that shared a hot gram."""
+    docs = parallelize_scan(docs)
     grams = _gram_rows(docs, ngram)
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    # narrow per-doc sizes (guide §2.4): size(distinct gram array) replaces
+    # a full shuffle of the gram table; value-identical (see _doc_gram_sizes)
+    sizes = _doc_gram_sizes(docs, ngram)
     if max_gram_freq is not None:
-        freq = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("df"))
+        # (doc_id, gram) rows are distinct per doc by construction, so the
+        # plain count IS the document frequency — count(*) keeps the
+        # partial (map-side) aggregation that the distinct-agg shape lost
+        freq = grams.groupBy("gram").agg(F.count("*").alias("df"))
         if log_dropped:
             n_hot = freq.where(F.col("df") > max_gram_freq).count()
             if n_hot:
@@ -439,7 +568,11 @@ def ngram_jaccard_pairs(
         g1.join(g2, "gram")
         .where(F.col("g1.doc_id") < F.col("g2.doc_id"))
         .groupBy(F.col("g1.doc_id").alias("doc_a"), F.col("g2.doc_id").alias("doc_b"))
-        .agg(F.countDistinct("gram").alias("n_common"))
+        # each shared gram contributes exactly one row (grams are distinct
+        # per doc), so count(*) == countDistinct(gram) — and count(*) keeps
+        # map-side partial aggregation where the distinct agg re-shuffled
+        # the full (pair, gram) stream (guide §2.3)
+        .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
@@ -470,7 +603,7 @@ def simhash(docs: DataFrame) -> DataFrame:
     """60-bit SimHash over distinct tokens (weight 1 each): bit b is set iff
     more token-hashes have bit b set than not. Built as 60 static aggregate
     expressions — no row explosion, one shuffle on doc_id."""
-    toks = docs.select(
+    toks = parallelize_scan(docs).select(
         "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok")
     ).withColumn("h", _h60(F.col("tok")))
     aggs = [
@@ -510,7 +643,10 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 12) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = banded.alias("a")
-    b = banded.alias("b")
+    # same self-join economics as minhash_candidates: force the symmetric
+    # shuffle so the simhash pipeline is computed once (ReuseExchange), not
+    # broadcast-collected and recomputed
+    b = banded.hint("shuffle_hash").alias("b")
     return (
         a.join(b, ["band", "key"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -638,7 +774,7 @@ def pack_sequences(
     """
     id_dt = docs.schema["doc_id"].dataType.simpleString()
     tc = (
-        token_counts(docs)
+        token_counts(parallelize_scan(docs))
         .select(
             "doc_id",
             F.least(F.col("bpe_tokens"), F.lit(seq_len)).cast("int").alias("tokens"),
@@ -661,17 +797,37 @@ def pack_sequences(
             zip(pdf["doc_id"].tolist(), pdf["tokens"].tolist()),
             key=lambda it: (-it[1], it[0]),
         )
+        # capacity-indexed first-fit (r7): a max-segment-tree over bins in
+        # CREATION order finds the leftmost bin with remaining capacity
+        # >= tok in O(log bins) — placement-identical to the linear
+        # first-fit scan it replaces (leftmost-fitting bin either way,
+        # pinned by test_pack_ffd_segment_tree_matches_linear_scan), but
+        # O(n log n) per shard instead of O(n·bins) (adversarial
+        # ~seq_len/2-sized docs made the scan quadratic).
+        size = 1
+        while size < max(len(items), 1):
+            size <<= 1
+        tree = [-1] * (2 * size)  # max remaining capacity per subtree
         bins: list[list] = []  # [tokens_used, [doc_ids]]
         for doc_id, tok in items:
-            placed = False
-            for b in bins:
-                if b[0] + tok <= seq_len:
-                    b[0] += tok
-                    b[1].append(doc_id)
-                    placed = True
-                    break
-            if not placed:
+            if tree[1] >= tok:  # some open bin fits: walk to the leftmost
+                node = 1
+                while node < size:
+                    node = 2 * node if tree[2 * node] >= tok else 2 * node + 1
+                bi = node - size
+                bins[bi][0] += tok
+                bins[bi][1].append(doc_id)
+                rem = seq_len - bins[bi][0]
+            else:  # open a new bin at the next leaf
+                bi = len(bins)
                 bins.append([tok, [doc_id]])
+                node = size + bi
+                rem = seq_len - tok
+            tree[node] = rem
+            node >>= 1
+            while node:
+                tree[node] = max(tree[2 * node], tree[2 * node + 1])
+                node >>= 1
         return pd.DataFrame(
             {
                 "seq_id": [(shard << 40) + i for i in range(len(bins))],

@@ -159,9 +159,18 @@ def stream_documents(spark: SparkSession, watch_dir: str) -> DataFrame:
 
 
 def exact_dedup_stream(doc_stream: DataFrame) -> DataFrame:
-    """Streaming exact dedup — the ingest-time twin of ``text.exact_dedup``:
-    suppress every re-arrival of an already-seen text, across micro-batch
-    boundaries, emitting each distinct text's first-arrived row. Built on
+    """Streaming exact dedup — the ingest-time counterpart of
+    ``text.exact_dedup``: suppress every re-arrival of an already-seen text,
+    across micro-batch boundaries, emitting each distinct text's
+    first-arrived row.
+
+    DELIBERATE semantic difference from the batch op (r7, ADVICE r6): the
+    stream dedups case-INSENSITIVELY (``md5(lower(text))``) because ingest
+    is where trivially-recased re-submissions of the same document are
+    cheapest to drop, while the batch op hashes raw text so its groups
+    match the byte-exact DuckDB oracle. A pipeline needing byte-exact
+    stream semantics removes the ``lower``; the cross-batch suppression
+    test pins the case-insensitive contract. Built on
     Spark's native streaming ``dropDuplicates`` so the seen-set state lives
     in the JVM state store (HDFS/RocksDB-backed, checkpointed, recovered on
     restart) keyed on the 128-bit text hash — no Python in the loop and no
