@@ -252,7 +252,11 @@ def test_regrid_fast_path_survives_int32_overflowing_shift():
         float(scene_x0), float(scene_y0), scene_res, nodata=0.0,
     )
     assert out is not None
-    dn = np.frombuffer(zlib.decompress(out[0]), np.uint16).reshape(e.shape)
+    from xcube_stac_spark.operators.tiles import decompress_window
+
+    dn = np.frombuffer(
+        decompress_window(out[0], 2 * e.size), np.uint16
+    ).reshape(e.shape)
 
     # independent int64 spec: residue decomposition then integer shift
     rx, sx = pixel_residue_shift(float(scene_x0), scene_res)

@@ -395,6 +395,45 @@ def _plane_idx_base(key: tuple, col_rel: np.ndarray, row_rel: np.ndarray, w: int
     return _PLANE_CACHE.get_or_build((key, "idx", w), build)[0]
 
 
+#: In-flight window codec (decode_regrid → mosaic): zstd level 1 via the
+#: codec pyarrow bundles (pyarrow is already a hard dependency of every
+#: Arrow UDF in this pipeline). Profiled on real corpus DN windows:
+#: 0.051 ms/window at ratio 1.54 vs zlib level 1's 0.370 ms at 1.57 — 7x
+#: the speed at the same ratio, and zlib.compress was 43% of the whole
+#: decode+regrid stage's CPU (cProfile, sf1.0 bench shape). These payloads
+#: live only between the decode stage and the mosaic (two Arrow hops + one
+#: shuffle) and are never at rest; the PERSISTED plane encoding
+#: (encode_plane below) stays zlib so kill/resume digests and any on-disk
+#: readers are untouched.
+_WIN_CODEC_NAME = "zstd"
+_WIN_CODEC_LEVEL = 1
+
+
+def _win_codec():
+    import pyarrow as pa
+
+    return pa.Codec(_WIN_CODEC_NAME, compression_level=_WIN_CODEC_LEVEL)
+
+
+_WIN = None
+
+
+def compress_window(raw: bytes) -> bytes:
+    global _WIN
+    if _WIN is None:
+        _WIN = _win_codec()
+    return _WIN.compress(raw, asbytes=True)
+
+
+def decompress_window(z: bytes, n: int) -> bytes:
+    """Decompress an in-flight window payload of known decompressed size
+    ``n`` (window dims travel on the same row)."""
+    global _WIN
+    if _WIN is None:
+        _WIN = _win_codec()
+    return _WIN.decompress(z, decompressed_size=n, asbytes=True)
+
+
 def pixel_residue_shift(origin: float, res: float) -> tuple[float, int]:
     """Split a scene origin into (sub-pixel residue, integer pixel shift):
     origin = residue + shift*res with shift integral. Shared spec between
@@ -491,8 +530,8 @@ def _regrid_one(
         if n_valid == 0:
             return None
         # whole tile interior to the scene → the window IS the tile
-        dn_z = zlib.compress(dn.tobytes(), 1)
-        mask_z = zlib.compress(np.packbits(valid.ravel()).tobytes(), 1)
+        dn_z = compress_window(dn.tobytes())
+        mask_z = compress_window(np.packbits(valid.ravel()).tobytes())
         return dn_z, mask_z, n_valid, 0, 0, th, tw, th, tw
     # coarse window from the cached per-row/per-col extrema (O(tile edge)
     # vector tests — the full-tile int32 planes are never materialized),
@@ -530,12 +569,12 @@ def _regrid_one(
     n_valid = int(valid.sum())
     if n_valid == 0:
         return None
-    # light zlib over the DN window: the tile crosses two Arrow hops and one
-    # shuffle before the mosaic — compressing here trades cheap CPU for the
-    # scarce resource (network on a cluster, memory bandwidth on this VM);
-    # gradient-ish imagery compresses ~3-4x at level 1
-    dn_z = zlib.compress(dn.tobytes(), 1)
-    mask_z = zlib.compress(np.packbits(valid.ravel()).tobytes(), 1)
+    # light compression over the DN window: the tile crosses two Arrow hops
+    # and one shuffle before the mosaic — compressing here trades cheap CPU
+    # for the scarce resource (network on a cluster, memory bandwidth on
+    # this VM); see the window-codec note above for the zstd-vs-zlib trade
+    dn_z = compress_window(dn.tobytes())
+    mask_z = compress_window(np.packbits(valid.ravel()).tobytes())
     return dn_z, mask_z, n_valid, y0, x0, y1 - y0, x1 - x0, th, tw
 
 
@@ -783,9 +822,15 @@ def mosaic_take_first(
         filled = np.zeros((th, tw), dtype=bool)
         for r in rows:
             npix = int(r.wh) * int(r.ww)
-            dn = np.frombuffer(zlib.decompress(r.dn), np.uint16).reshape(r.wh, r.ww)
+            dn = np.frombuffer(
+                decompress_window(r.dn, 2 * npix), np.uint16
+            ).reshape(r.wh, r.ww)
             m = (
-                np.unpackbits(np.frombuffer(zlib.decompress(r.mask), np.uint8))[:npix]
+                np.unpackbits(
+                    np.frombuffer(
+                        decompress_window(r.mask, (npix + 7) // 8), np.uint8
+                    )
+                )[:npix]
                 .reshape(r.wh, r.ww)
                 .astype(bool)
             )
