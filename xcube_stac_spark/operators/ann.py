@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from xcube_stac_spark.operators.text import parallelize_scan
+
 EMB_DIM = 64  # the mandated embeddings-table dimensionality
 TOPK_BANDS, TOPK_BITS = 4, 8  # lsh_topk defaults: wide-ish buckets → recall
 # near_dup defaults: tight buckets → precision. 16 bands x 12 bits measures
@@ -77,6 +79,10 @@ def brute_force_topk(
     batch (broadcast the queries — they're the small side by construction);
     ranking is a per-query window with deterministic (score desc, vec_id)
     tie-break."""
+    # single-row-group embedding files plan as ONE scan split and the
+    # broadcast cross join preserves that — the whole interpreted cosine
+    # fold would run on one core (guide §2.5); no-op on well-split corpora
+    embeddings = parallelize_scan(embeddings, key="vec_id")
     joined = embeddings.crossJoin(F.broadcast(queries)).where(
         F.col("vec_id") != F.col("query_id")
     )
@@ -161,6 +167,7 @@ def lsh_topk(
     """Banded ANN: candidates share ANY of the query's band keys (multi-band
     probing), then exact cosine ranks them. Same output shape as
     brute_force_topk; recall < 1 by design — the scale/latency trade."""
+    embeddings = parallelize_scan(embeddings, key="vec_id")
     eb = hyperplane_bands(embeddings, "vec_id", "embedding", bands, bits, dim)
     qb = hyperplane_bands(queries, "query_id", "qvec", bands, bits, dim)
     cand = (
@@ -348,7 +355,9 @@ def ivf_topk(
     ``nprobe == n_clusters`` degenerates to exhaustive search and must equal
     brute_force_topk exactly (pinned by test)."""
     C = ivf_train(embeddings, k=n_clusters, iters=iters)
-    corpus = embeddings.withColumn("cluster", _ivf_assign_udf(C)(F.col("embedding")))
+    corpus = parallelize_scan(embeddings, key="vec_id").withColumn(
+        "cluster", _ivf_assign_udf(C)(F.col("embedding"))
+    )
     probes = queries.select(
         "query_id", "qvec",
         F.explode(_ivf_probe_udf(C, nprobe)(F.col("qvec"))).alias("cluster"),
@@ -506,10 +515,13 @@ def near_dup_pairs(
     The 16x12 defaults MEASURE 0.945 recall on pairs planted exactly at the
     cos=0.9 boundary (and ~1.0 at cos ≥ 0.98); raise ``bands`` for higher
     boundary recall at linear candidate cost."""
-    e = embeddings.select("vec_id", "embedding")
+    e = parallelize_scan(embeddings.select("vec_id", "embedding"), key="vec_id")
     bk = hyperplane_bands(e, "vec_id", "embedding", bands, bits, dim)
     a = bk.alias("a")
-    b = bk.alias("b")
+    # symmetric shuffle for the self-join (same reasoning as text
+    # minhash_candidates): ReuseExchange computes the 32-interpreted-dot
+    # banding pipeline ONCE instead of broadcast-collecting a recomputation
+    b = bk.hint("shuffle_hash").alias("b")
     cand = (
         a.join(b, ["band", "key"])
         .where(F.col("a.vec_id") < F.col("b.vec_id"))

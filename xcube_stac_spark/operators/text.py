@@ -70,7 +70,9 @@ def ngrams_of_tokens(toks: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(empty)
 
 
-def parallelize_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def parallelize_scan(
+    df: DataFrame, min_parts: int | None = None, key: str = "doc_id"
+) -> DataFrame:
     """Hash-repartition ONLY when the planned scan parallelism is below the
     session default — the single-row-group small-file case, where every
     downstream narrow expression (gram transforms, md5, regex) would
@@ -78,12 +80,12 @@ def parallelize_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     unsplittable file... repartition immediately after the read"). A real
     corpus scan arrives with >= cores splits and this is a NO-OP (no
     shuffle, no plan change); the probe itself plans the query but runs no
-    job. Keyed on doc_id (deterministic, balanced) rather than round-robin
+    job. Keyed on ``key`` (deterministic, balanced) rather than round-robin
     so no sort-before-repartition is paid and task retries are safe."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, F.col("doc_id"))
+        return df.repartition(target, F.col(key))
     return df
 
 
