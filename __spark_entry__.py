@@ -390,7 +390,13 @@ def _q_pack_sequences(spark, sf_dir):
     floor(total/(L/2)) + shards). A packing that breaks any invariant
     hash-mismatches the oracle."""
     L, shards = PACK_SEQ_LEN, PACK_SHARDS
-    packed = text_op.pack_sequences(_docs(spark, sf_dir), seq_len=L, shards=shards)
+    # the audit aggregates the packing TWICE (sequence invariants + doc
+    # multiplicity); a lazy checkpoint shares one FFD materialization
+    # within this invocation — each call builds a fresh RDD, so nothing is
+    # reused across bench/oracle runs
+    packed = text_op.pack_sequences(
+        _docs(spark, sf_dir), seq_len=L, shards=shards
+    ).localCheckpoint(eager=False)
     seq = packed.agg(
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.count("*").alias("n_seqs"),
